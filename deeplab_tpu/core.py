@@ -1,0 +1,109 @@
+"""Minimal functional parameter system.
+
+Params live in a flat, name-keyed pytree: ``{layer_name: {var_name: array}}``.
+Layer names follow the reference's Keras layer names exactly — that is the
+weight-file contract (reference deeplabv3p.py:465 loads ``by_name=True``), so
+the h5 importer can map shipped checkpoints onto this tree with zero renaming.
+
+Model code is written once as a pure function over a :class:`Ctx`; the same
+code path either *creates* params (init mode, shapes inferred from the traced
+activations) or *consumes* them (apply mode, fully jittable).  Non-trainable
+state (BatchNorm moving stats) lives in a parallel ``state`` tree so the
+optimizer never sees it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Dict[str, jax.Array]]
+State = Dict[str, Dict[str, jax.Array]]
+
+
+@dataclasses.dataclass
+class Ctx:
+    """Threaded through model code; dispatches init vs apply behavior."""
+
+    mode: str  # 'init' | 'apply'
+    params: Params
+    state: State
+    training: bool = False
+    rng: Optional[jax.Array] = None
+    new_state: State = dataclasses.field(default_factory=dict)
+    compute_dtype: Any = jnp.float32
+
+    def param(self, layer: str, name: str, shape, init_fn: Callable, dtype=jnp.float32):
+        if self.mode == "init":
+            layer_params = self.params.setdefault(layer, {})
+            if name not in layer_params:
+                self.rng, sub = jax.random.split(self.rng)
+                layer_params[name] = init_fn(sub, shape, dtype)
+            return layer_params[name]
+        try:
+            return self.params[layer][name]
+        except KeyError as e:
+            raise KeyError(f"missing param {layer}/{name}") from e
+
+    def stat(self, layer: str, name: str, shape, init_val: float, dtype=jnp.float32):
+        """Fetch a non-trainable statistic (e.g. BN moving mean/var)."""
+        if self.mode == "init":
+            layer_state = self.state.setdefault(layer, {})
+            if name not in layer_state:
+                layer_state[name] = jnp.full(shape, init_val, dtype)
+            return layer_state[name]
+        try:
+            return self.state[layer][name]
+        except KeyError as e:
+            raise KeyError(f"missing state {layer}/{name}") from e
+
+    def update_stat(self, layer: str, name: str, value: jax.Array):
+        self.new_state.setdefault(layer, {})[name] = value
+
+    def next_rng(self) -> jax.Array:
+        assert self.rng is not None, "rng required (dropout in training mode)"
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+
+def init_model(model_fn: Callable, rng: jax.Array, *example_inputs, **kwargs):
+    """Run ``model_fn`` in init mode; returns (params, state).
+
+    Shape inference runs under ``jax.eval_shape``-style abstract values is not
+    needed — we run eagerly on the example input (cheap at init time) so that
+    initializers see concrete shapes.
+    """
+    ctx = Ctx(mode="init", params={}, state={}, training=False, rng=rng)
+    model_fn(ctx, *example_inputs, **kwargs)
+    return ctx.params, ctx.state
+
+
+def apply_model(model_fn: Callable, params: Params, state: State, *inputs,
+                training: bool = False, rng: Optional[jax.Array] = None, **kwargs):
+    """Run ``model_fn`` in apply mode. Returns (output, new_state).
+
+    ``new_state`` contains updated BN moving stats when ``training=True``
+    (merged over the old state), else it equals ``state``.
+    """
+    ctx = Ctx(mode="apply", params=params, state=state, training=training, rng=rng)
+    out = model_fn(ctx, *inputs, **kwargs)
+    if training and ctx.new_state:
+        merged = {k: dict(v) for k, v in state.items()}
+        for layer, vars_ in ctx.new_state.items():
+            merged.setdefault(layer, {}).update(vars_)
+        return out, merged
+    return out, state
+
+
+def merge_params(params: Params, updates: Params) -> Params:
+    out = {k: dict(v) for k, v in params.items()}
+    for layer, vars_ in updates.items():
+        out.setdefault(layer, {}).update(vars_)
+    return out
+
+
+def param_count(params: Params) -> int:
+    return sum(int(x.size) for lp in params.values() for x in lp.values())

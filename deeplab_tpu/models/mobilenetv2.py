@@ -1,0 +1,82 @@
+"""MobileNetV2 backbone for DeepLabV3+ (reference deeplabv3p.py:157-206,315-367).
+
+17 inverted-residual blocks; the DeepLab variant keeps stride 8 by switching
+blocks 7-12 to rate 2 and 14-16 to rate 4 instead of striding (reference
+deeplabv3p.py:342-367; OS is forced to 8 for this backbone at :316).
+Layer names match the reference exactly (the .h5 weight contract).
+"""
+
+from __future__ import annotations
+
+from deeplab_tpu.ops.bn import batch_norm
+from deeplab_tpu.ops.conv import conv2d, depthwise_conv2d, relu6
+
+
+def make_divisible(v, divisor, min_value=None):
+    """Reference _make_divisible (deeplabv3p.py:157-164)."""
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def inverted_res_block(ctx, x, expansion, stride, alpha, filters, block_id,
+                       skip_connection, rate=1):
+    """Reference _inverted_res_block (deeplabv3p.py:167-206)."""
+    inputs = x
+    in_channels = x.shape[-1]
+    pointwise_filters = make_divisible(int(filters * alpha), 8)
+    prefix = f"expanded_conv_{block_id}_" if block_id else "expanded_conv_"
+
+    if block_id:
+        x = conv2d(ctx, x, expansion * in_channels, 1, prefix + "expand")
+        x = batch_norm(ctx, x, prefix + "expand_BN", epsilon=1e-3, momentum=0.999)
+        x = relu6(x)
+
+    x = depthwise_conv2d(ctx, x, 3, prefix + "depthwise", stride=stride, rate=rate)
+    x = batch_norm(ctx, x, prefix + "depthwise_BN", epsilon=1e-3, momentum=0.999)
+    x = relu6(x)
+
+    x = conv2d(ctx, x, pointwise_filters, 1, prefix + "project")
+    x = batch_norm(ctx, x, prefix + "project_BN", epsilon=1e-3, momentum=0.999)
+
+    if skip_connection:
+        return inputs + x
+    return x
+
+
+# (filters, stride, expansion, block_id, skip, rate) — deeplabv3p.py:327-367
+BLOCK_TABLE = (
+    (16, 1, 1, 0, False, 1),
+    (24, 2, 6, 1, False, 1),
+    (24, 1, 6, 2, True, 1),
+    (32, 2, 6, 3, False, 1),
+    (32, 1, 6, 4, True, 1),
+    (32, 1, 6, 5, True, 1),
+    (64, 1, 6, 6, False, 1),   # stride changed 2->1 in DeepLab variant
+    (64, 1, 6, 7, True, 2),
+    (64, 1, 6, 8, True, 2),
+    (64, 1, 6, 9, True, 2),
+    (96, 1, 6, 10, False, 2),
+    (96, 1, 6, 11, True, 2),
+    (96, 1, 6, 12, True, 2),
+    (160, 1, 6, 13, False, 2),
+    (160, 1, 6, 14, True, 4),
+    (160, 1, 6, 15, True, 4),
+    (320, 1, 6, 16, False, 4),
+)
+
+
+def backbone(ctx, x, alpha: float = 1.0):
+    """Stem + 17 blocks. Input is the normalized image; output stride 8."""
+    first_block_filters = make_divisible(32 * alpha, 8)
+    x = conv2d(ctx, x, first_block_filters, 3, "Conv", stride=2)
+    x = batch_norm(ctx, x, "Conv_BN", epsilon=1e-3, momentum=0.999)
+    x = relu6(x)
+    for filters, stride, expansion, block_id, skip, rate in BLOCK_TABLE:
+        x = inverted_res_block(ctx, x, expansion=expansion, stride=stride,
+                               alpha=alpha, filters=filters, block_id=block_id,
+                               skip_connection=skip, rate=rate)
+    return x

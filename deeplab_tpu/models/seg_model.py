@@ -1,0 +1,158 @@
+"""SegModel facade (reference utils.py:160-254).
+
+``create_seg_model`` builds the Deeplabv3 trunk, truncates at the reference's
+``model.layers[-5].output`` point (post-Dropout ASPP projection; utils.py:181)
+and attaches one of two heads:
+
+- ``'original'``: 1x1 conv ``conv_upsample`` -> TF1 bilinear resize to full
+  resolution -> reshape (H*W, n) -> softmax ``pred_mask`` (utils.py:188-193).
+- ``'subpixel'``: Subpixel conv (1x1, r=scale: 8 for mobilenetv2 / 4 for
+  xception) -> phase shift -> reshape -> softmax (utils.py:194-198), with
+  every Subpixel kernel re-initialized by ICNR (utils.py:200-204).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from deeplab_tpu import core
+from deeplab_tpu.models.deeplabv3p import deeplabv3_forward
+from deeplab_tpu.ops import init as inits
+from deeplab_tpu.ops.conv import conv2d
+from deeplab_tpu.ops.pixel_shuffle import phase_shift
+from deeplab_tpu.ops.resize import resize_bilinear_tf1
+
+
+class SegNet:
+    """A built segmentation network: pure forward + init/apply, mirrors the
+    Keras Model returned by the reference's create_seg_model."""
+
+    def __init__(self, image_size, n_classes: int, backbone: str, net: str):
+        self.sz = tuple(image_size)          # (H, W)
+        self.n_classes = n_classes
+        self.backbone = backbone
+        self.net = net
+        self.scale = 4 if backbone == "xception" else 8
+        self.name = ("deeplabv3p" if net == "original" else "deeplabv3p_subpixel")
+
+    def forward(self, ctx, img):
+        feats = deeplabv3_forward(ctx, img, backbone=self.backbone, OS=16,
+                                  alpha=1.0, classes=21, return_features=True)
+        n = self.n_classes
+        if self.net == "original":
+            x = conv2d(ctx, feats, n, 1, "conv_upsample", use_bias=True)
+            x = resize_bilinear_tf1(x, self.sz)
+        elif self.net == "subpixel":
+            r = self.scale
+            x = conv2d(ctx, feats, n * r * r, 1, "subpixel", use_bias=True,
+                       kernel_init=lambda rng, shape, dtype: inits.icnr(
+                           rng, shape, r, dtype=dtype))
+            x = phase_shift(x, r)
+        else:
+            raise ValueError(f"unknown net {self.net!r}")
+        x = x.reshape(x.shape[0], self.sz[0] * self.sz[1], n)
+        return jax.nn.softmax(x, axis=-1)
+
+    def init(self, rng, batch_size: int = 1):
+        example = jnp.zeros((batch_size,) + self.sz + (3,), jnp.float32)
+        return core.init_model(self.forward, rng, example)
+
+    def apply(self, params, state, img, training: bool = False, rng=None):
+        return core.apply_model(self.forward, params, state, img,
+                                training=training, rng=rng)
+
+
+class SegModel:
+    """Reference utils.py:160-254 facade."""
+
+    epochs = 20
+    batch_size = 16
+
+    def __init__(self, dataset="VOCdevkit/VOC2012", image_size=(320, 320)):
+        self.sz = tuple(image_size)
+        self.mainpath = dataset
+        self.crop = False
+        self.net = None
+        self.model: Optional[SegNet] = None
+        self.params = None
+        self.state = None
+
+    def create_seg_model(self, net, n=21, backbone="mobilenetv2",
+                         load_weights=False, multi_gpu=False, rng=None):
+        """Build the truncated trunk + head. Returns the SegNet; params/state
+        are stored on the facade (and on the returned net for convenience)."""
+        self.net = net
+        self.modelpath = f"weights/{backbone}_{net}.h5"
+        model = SegNet(self.sz, n, backbone, net)
+        rng = rng if rng is not None else jax.random.key(0)
+        params, state = model.init(rng)
+        # ICNR is the kernel_init of the subpixel conv (utils.py:200-204),
+        # already applied at init time above.
+        if load_weights:
+            params, state = self._load_h5(params, state, self.modelpath)
+        self.model = model
+        self.params, self.state = params, state
+        model.params, model.state = params, state
+        self.multi_gpu = multi_gpu  # parallelism is mesh-based; see train().
+        return model
+
+    def _load_h5(self, params, state, path):
+        from deeplab_tpu.params import load_keras_h5
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        return load_keras_h5(path, params, state)
+
+    def load_weights(self, model=None):
+        self.params, self.state = self._load_h5(self.params, self.state,
+                                                self.modelpath)
+        if model is not None:
+            model.params, model.state = self.params, self.state
+        return self.params, self.state
+
+    def create_generators(self, crop_shape=False, mode="train", do_ahisteq=True,
+                          n_classes=21, horizontal_flip=True, vertical_flip=False,
+                          blur=False, with_bg=True, brightness=0.1, rotation=5.0,
+                          zoom=0.1, validation_split=0.2, seed=7):
+        from deeplab_tpu.data.generator import SegmentationGenerator
+        return SegmentationGenerator(
+            folder=self.mainpath, mode=mode, n_classes=n_classes,
+            do_ahisteq=do_ahisteq, batch_size=self.batch_size,
+            resize_shape=self.sz[::-1], crop_shape=crop_shape,
+            horizontal_flip=horizontal_flip, vertical_flip=vertical_flip,
+            blur=blur, brightness=brightness, rotation=rotation, zoom=zoom,
+            validation_split=validation_split, seed=seed)
+
+    def train_generator(self, model, train_generator, valid_generator,
+                        callbacks=None, mp=True, **train_kw):
+        """Reference utils.py:231-241 — delegates to the TPU trainer."""
+        from deeplab_tpu.train.trainer import Trainer
+        trainer = Trainer(model, epochs=self.epochs, callbacks=callbacks or [],
+                          **train_kw)
+        history = trainer.fit(self.params, self.state, train_generator,
+                              valid_generator)
+        self.params, self.state = trainer.params, trainer.state
+        return history
+
+    def train(self, model, X, y, val_data, tf_board=False,
+              plot_train_process=False):
+        from deeplab_tpu.train.trainer import Trainer
+        from deeplab_tpu.data.generator import ArrayBatcher
+        trainer = Trainer(model, epochs=self.epochs)
+        gen = ArrayBatcher(X, y, self.batch_size, n_classes=model.n_classes)
+        val_gen = ArrayBatcher(val_data[0], val_data[1], self.batch_size,
+                               n_classes=model.n_classes)
+        history = trainer.fit(self.params, self.state, gen, val_gen)
+        self.params, self.state = trainer.params, trainer.state
+        return history
+
+    @classmethod
+    def set_num_epochs(cls, new_epochs):
+        cls.epochs = new_epochs
+
+    @classmethod
+    def set_batch_size(cls, new_batch_size):
+        cls.batch_size = new_batch_size

@@ -1,0 +1,130 @@
+"""Functional conv primitives with the reference's exact padding regimes.
+
+All convs run NHWC with HWIO kernels (the Keras/TF layout — direct .h5 weight
+compat and the layout XLA:TPU prefers).  Accumulation is forced to float32 via
+``preferred_element_type`` so bfloat16 activations keep full MXU precision.
+
+Layer helpers mirror the reference builders:
+  - ``conv2d``          -> Keras Conv2D, padding='same' (TF SAME)
+  - ``conv2d_fixed``    -> reference _conv2d_same (deeplabv3p.py:87-116)
+  - ``depthwise_conv2d``-> Keras DepthwiseConv2D
+  - ``sep_conv_bn``     -> reference SepConv_BN (deeplabv3p.py:47-84)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deeplab_tpu.ops import init as inits
+from deeplab_tpu.ops.bn import batch_norm
+from deeplab_tpu.ops.padding import manual_pads, same_pads
+
+_DN = jax.lax.conv_dimension_numbers  # cached per-shape by jax
+
+
+def _conv(x, kernel, stride: int, rate: int, pads, feature_group_count: int = 1):
+    dn = _DN(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    # float32 runs at HIGHEST precision (the logit-parity contract vs the
+    # reference's f32 CUDA kernels); bfloat16 uses the fast MXU path.
+    precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[pads, pads] if isinstance(pads[0], int) else pads,
+        rhs_dilation=(rate, rate),
+        dimension_numbers=dn,
+        feature_group_count=feature_group_count,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def conv2d(ctx, x, filters: int, kernel_size: int, name: str, stride: int = 1,
+           rate: int = 1, use_bias: bool = False, padding: str = "same",
+           kernel_init=inits.glorot_uniform):
+    """Keras Conv2D. ``padding`` in {'same','valid'} (TF semantics)."""
+    cin = x.shape[-1]
+    kernel = ctx.param(name, "kernel", (kernel_size, kernel_size, cin, filters),
+                       kernel_init)
+    if padding == "same":
+        ph = same_pads(x.shape[1], kernel_size, stride, rate)
+        pw = same_pads(x.shape[2], kernel_size, stride, rate)
+    else:
+        ph = pw = (0, 0)
+    y = _conv(x, kernel, stride, rate, [ph, pw])
+    if use_bias:
+        bias = ctx.param(name, "bias", (filters,), inits.zeros)
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def conv2d_fixed(ctx, x, filters: int, name: str, stride: int = 1,
+                 kernel_size: int = 3, rate: int = 1):
+    """Reference ``_conv2d_same``: stride=1 -> SAME; stride>1 -> manual fixed
+    padding + VALID (the "1 pixel drift" fix, deeplabv3p.py:89)."""
+    if stride == 1:
+        return conv2d(ctx, x, filters, kernel_size, name, stride=1, rate=rate)
+    cin = x.shape[-1]
+    kernel = ctx.param(name, "kernel", (kernel_size, kernel_size, cin, filters),
+                       inits.glorot_uniform)
+    p = manual_pads(kernel_size, rate)
+    return _conv(x, kernel, stride, rate, [p, p])
+
+
+def depthwise_conv2d(ctx, x, kernel_size: int, name: str, stride: int = 1,
+                     rate: int = 1, padding: str = "same",
+                     explicit_pads: Optional[Tuple[int, int]] = None):
+    """Keras DepthwiseConv2D (depth_multiplier=1, no bias).
+
+    Keras stores the kernel as (kh, kw, in, 1); XLA's grouped conv wants
+    (kh, kw, 1, in).  We keep the Keras layout in the param tree (h5 contract)
+    and transpose at call time (free — fused into the conv's layout pass).
+    """
+    cin = x.shape[-1]
+    kernel = ctx.param(name, "depthwise_kernel", (kernel_size, kernel_size, cin, 1),
+                       inits.glorot_uniform)
+    k = jnp.transpose(kernel, (0, 1, 3, 2))  # -> (kh, kw, 1, cin)
+    if explicit_pads is not None:
+        ph = pw = explicit_pads
+    elif padding == "same":
+        ph = same_pads(x.shape[1], kernel_size, stride, rate)
+        pw = same_pads(x.shape[2], kernel_size, stride, rate)
+    else:
+        ph = pw = (0, 0)
+    return _conv(x, k, stride, rate, [ph, pw], feature_group_count=cin)
+
+
+def sep_conv_bn(ctx, x, filters: int, prefix: str, stride: int = 1,
+                kernel_size: int = 3, rate: int = 1,
+                depth_activation: bool = False, epsilon: float = 1e-3):
+    """Reference SepConv_BN (deeplabv3p.py:47-84).
+
+    [not depth_activation: ReLU first] -> depthwise(rate, stride; manual pad if
+    stride>1) -> BN -> [ReLU] -> pointwise 1x1 -> BN -> [ReLU].
+    """
+    if stride == 1:
+        dw_pads, dw_padding = None, "same"
+    else:
+        dw_pads, dw_padding = manual_pads(kernel_size, rate), "valid"
+
+    if not depth_activation:
+        x = jax.nn.relu(x)
+    x = depthwise_conv2d(ctx, x, kernel_size, prefix + "_depthwise",
+                         stride=stride, rate=rate, padding=dw_padding,
+                         explicit_pads=dw_pads)
+    x = batch_norm(ctx, x, prefix + "_depthwise_BN", epsilon=epsilon)
+    if depth_activation:
+        x = jax.nn.relu(x)
+    x = conv2d(ctx, x, filters, 1, prefix + "_pointwise")
+    x = batch_norm(ctx, x, prefix + "_pointwise_BN", epsilon=epsilon)
+    if depth_activation:
+        x = jax.nn.relu(x)
+    return x
+
+
+def relu6(x):
+    return jnp.minimum(jax.nn.relu(x), jnp.asarray(6.0, x.dtype))

@@ -1,0 +1,82 @@
+"""TF1 legacy image-resize semantics on TPU.
+
+The reference calls ``K.tf.image.resize_bilinear`` (TF1, ``align_corners=False``,
+*no* half-pixel centers) at deeplabv3p.py:382,418,439 and utils.py:190, and
+``resize_nearest_neighbor`` inside the ICNR initializer (subpixel.py:35).
+Logit parity with the shipped .h5 weights requires these exact semantics —
+``jax.image.resize`` uses half-pixel centers and does NOT match.
+
+TF1 mapping: ``src = dst * (in/out)``; bilinear interpolates between
+``floor(src)`` and ``min(floor(src)+1, in-1)``; nearest takes ``floor(src)``.
+
+Implementation: a dense (out, in) interpolation matrix per axis applied as two
+matmuls — this lowers onto the TPU MXU instead of gathers, and XLA fuses the
+pair.  The matrices are built at trace time from static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) row-stochastic interpolation matrix, TF1 align_corners=False."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    scale = in_size / out_size
+    for d in range(out_size):
+        src = d * scale
+        lo = int(np.floor(src))
+        lo = min(lo, in_size - 1)
+        hi = min(lo + 1, in_size - 1)
+        frac = src - lo
+        m[d, lo] += 1.0 - frac
+        m[d, hi] += frac
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
+    scale = in_size / out_size
+    idx = np.floor(np.arange(out_size) * scale).astype(np.int32)
+    return np.minimum(idx, in_size - 1)
+
+
+def resize_bilinear_tf1(x: jnp.ndarray, size) -> jnp.ndarray:
+    """Resize NHWC (or HWC) tensor to ``size=(H_out, W_out)``, TF1 semantics."""
+    out_h, out_w = int(size[0]), int(size[1])
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    _, in_h, in_w, _ = x.shape
+    if (in_h, in_w) == (out_h, out_w):
+        return x[0] if squeeze else x
+    dtype = x.dtype
+    mh = jnp.asarray(_bilinear_matrix(in_h, out_h), dtype=jnp.float32)
+    mw = jnp.asarray(_bilinear_matrix(in_w, out_w), dtype=jnp.float32)
+    xf = x.astype(jnp.float32)
+    # (B,H,W,C): contract H then W on the MXU, full f32 (parity contract).
+    y = jnp.einsum("oh,bhwc->bowc", mh, xf,
+                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("ow,bhwc->bhoc", mw, y,
+                   precision=jax.lax.Precision.HIGHEST)
+    y = y.astype(dtype)
+    return y[0] if squeeze else y
+
+
+def resize_nearest_tf1(x: jnp.ndarray, size) -> jnp.ndarray:
+    """Nearest-neighbor resize, TF1 align_corners=False (subpixel.py:35)."""
+    out_h, out_w = int(size[0]), int(size[1])
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    _, in_h, in_w, _ = x.shape
+    ih = jnp.asarray(_nearest_index(in_h, out_h))
+    iw = jnp.asarray(_nearest_index(in_w, out_w))
+    y = x[:, ih][:, :, iw]
+    return y[0] if squeeze else y
