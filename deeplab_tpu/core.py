@@ -35,6 +35,10 @@ class Ctx:
     rng: Optional[jax.Array] = None
     new_state: State = dataclasses.field(default_factory=dict)
     compute_dtype: Any = jnp.float32
+    # Layers frozen for fine-tuning (notebook cell 5: everything before
+    # 'concat_projection').  Frozen BatchNorm runs in inference mode and does
+    # not update moving stats (Keras >= 2.1.3 semantics).
+    frozen: frozenset = frozenset()
 
     def param(self, layer: str, name: str, shape, init_fn: Callable, dtype=jnp.float32):
         if self.mode == "init":
@@ -82,13 +86,15 @@ def init_model(model_fn: Callable, rng: jax.Array, *example_inputs, **kwargs):
 
 
 def apply_model(model_fn: Callable, params: Params, state: State, *inputs,
-                training: bool = False, rng: Optional[jax.Array] = None, **kwargs):
+                training: bool = False, rng: Optional[jax.Array] = None,
+                frozen: frozenset = frozenset(), **kwargs):
     """Run ``model_fn`` in apply mode. Returns (output, new_state).
 
     ``new_state`` contains updated BN moving stats when ``training=True``
     (merged over the old state), else it equals ``state``.
     """
-    ctx = Ctx(mode="apply", params=params, state=state, training=training, rng=rng)
+    ctx = Ctx(mode="apply", params=params, state=state, training=training,
+              rng=rng, frozen=frozen)
     out = model_fn(ctx, *inputs, **kwargs)
     if training and ctx.new_state:
         merged = {k: dict(v) for k, v in state.items()}

@@ -1,0 +1,272 @@
+"""Augmenting segmentation data pipeline (reference utils.py:257-423).
+
+Reproduces the reference ``SegmentationGenerator`` contract exactly:
+
+- SBD-augmented VOC layout: images ``JPEGImages/train/*``, labels
+  ``SegmentationClassAug/*`` (utils.py:265-266).
+- Seeded validation split: ``np.random.seed(seed)`` then the first
+  ``round(N*split)`` of a permutation; train = complement via ``setxor1d``
+  (utils.py:268-276) — byte-identical to the reference's split so validation
+  sets match.
+- ``__getitem__`` returns ``(X, Y, {'pred_mask': SW})``: X raw 0-255 float32
+  BGR (normalization is in-model), Y flattened (H*W, 1) labels with
+  resize-introduced ids mapped to void, SW the adaptive balanced per-pixel
+  weights with void zeroed (utils.py:310-402).
+- augmentation: optional blur, resize or random crop, h/v flip, gamma
+  brightness, fused rotation+zoom warp, CLAHE on YUV-Y (utils.py:319-358).
+
+TPU-native extensions (not in the reference): per-host sharding for multihost
+data parallelism and a background prefetcher feeding device batches.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import random
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+from deeplab_tpu.data import augment as A
+from deeplab_tpu.data.class_weights import (adaptive_pixel_weights,
+                                            fg_bg_pixel_weights)
+
+
+def _imread_bgr(path: str) -> np.ndarray:
+    """Read an image as uint8 BGR (the reference's cv2.imread contract,
+    utils.py:315).  PIL decodes; we swap to BGR."""
+    from PIL import Image
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"))
+    return arr[..., ::-1].copy()
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    """Read a label map as uint8 single channel (utils.py:316).
+
+    For palettized PNGs (the VOC label format) this returns the palette
+    *indices* — matching cv2.imread(path, 0) on VOC SegmentationClassAug
+    files, which stores class ids as palette indices.
+    """
+    from PIL import Image
+    with Image.open(path) as im:
+        if im.mode in ("P", "L"):
+            return np.asarray(im.convert("L") if im.mode == "L" else im).copy()
+        return np.asarray(im.convert("L")).copy()
+
+
+def reference_split(n_images: int, validation_split: float, seed: int,
+                    mode: str) -> np.ndarray:
+    """The reference's exact index selection (utils.py:268-276)."""
+    np.random.seed(seed)
+    n_select = round(n_images * validation_split)
+    x = np.random.permutation(n_images)[:n_select]
+    if mode == "train":
+        x = np.setxor1d(x, np.arange(n_images))
+    return x
+
+
+class SegmentationGenerator:
+    """Reference utils.py:257-423 — batch generator with augmentation."""
+
+    def __init__(self, folder="/workspace/datasets/", mode="train",
+                 n_classes=21, batch_size=1, resize_shape=None,
+                 validation_split=0.1, seed=7, crop_shape=(640, 320),
+                 horizontal_flip=True, blur=0, vertical_flip=0,
+                 brightness=0.1, rotation=5.0, zoom=0.1, do_ahisteq=True,
+                 host_id: int = 0, num_hosts: int = 1):
+        self.blur = blur
+        self.histeq = do_ahisteq
+        self.image_path_list = sorted(
+            glob.glob(os.path.join(folder, "JPEGImages", "train", "*")))
+        self.label_path_list = sorted(
+            glob.glob(os.path.join(folder, "SegmentationClassAug", "*")))
+
+        x = reference_split(len(self.image_path_list), validation_split, seed,
+                            mode)
+        self.image_path_list = [self.image_path_list[j] for j in x]
+        self.label_path_list = [self.label_path_list[j] for j in x]
+
+        if mode == "test":
+            self.image_path_list = sorted(
+                glob.glob(os.path.join(folder, "JPEGImages", "test", "*")))[:100]
+
+        # Per-host shard for multihost DP (TPU extension; identity on 1 host).
+        if num_hosts > 1:
+            self.image_path_list = self.image_path_list[host_id::num_hosts]
+            self.label_path_list = self.label_path_list[host_id::num_hosts]
+
+        self.mode = mode
+        self.n_classes = n_classes
+        self.batch_size = batch_size
+        self.resize_shape = resize_shape      # (W, H), the cv2 order
+        self.crop_shape = crop_shape
+        self.horizontal_flip = horizontal_flip
+        self.vertical_flip = vertical_flip
+        self.brightness = brightness
+        self.rotation = rotation
+        self.zoom = zoom
+
+        if self.crop_shape:
+            w, h = crop_shape
+        elif self.resize_shape:
+            w, h = resize_shape
+        else:
+            raise Exception("No image dimensions specified!")
+        self._hw = (h, w)
+        n_px = h * w
+        bs = batch_size
+        self.X = np.zeros((bs, h, w, 3), dtype="float32")
+        self.SW = np.zeros((bs, n_px), dtype="float32")
+        self.Y = np.zeros((bs, n_px, 1), dtype="float32")
+        self.F = np.zeros((bs, n_px, 1), dtype="float32")
+        self.F_SW = np.zeros((bs, n_px), dtype="float32")
+
+    def __len__(self):
+        return len(self.image_path_list) // self.batch_size
+
+    def _load_pair(self, image_path: str, label_path: str):
+        return _imread_bgr(image_path), _imread_gray(label_path)
+
+    def __getitem__(self, i):
+        bs = self.batch_size
+        pairs = zip(self.image_path_list[i * bs:(i + 1) * bs],
+                    self.label_path_list[i * bs:(i + 1) * bs])
+        for n, (image_path, label_path) in enumerate(pairs):
+            image, label = self._load_pair(image_path, label_path)
+            labels_present = np.unique(label)
+
+            if self.blur and random.randint(0, 1):
+                image = A.gaussian_blur(image, self.blur)
+
+            if self.resize_shape and not self.crop_shape:
+                image = A.resize_bilinear(image, self.resize_shape)
+                label = A.resize_nearest(label, self.resize_shape)
+
+            if self.crop_shape:
+                image, label = _random_crop(image, label, self.crop_shape)
+
+            if self.horizontal_flip and random.randint(0, 1):
+                image = A.flip_horizontal(image)
+                label = A.flip_horizontal(label)
+            if self.vertical_flip and random.randint(0, 1):
+                image = A.flip_vertical(image)
+                label = A.flip_vertical(label)
+            if self.brightness:
+                factor = 1.0 + random.gauss(mu=0.0, sigma=self.brightness)
+                if random.randint(0, 1):
+                    factor = 1.0 / factor
+                image = A.apply_lut(image, A.gamma_lut(factor))
+            angle = random.gauss(mu=0.0, sigma=self.rotation) if self.rotation \
+                else 0.0
+            scale = random.gauss(mu=1.0, sigma=self.zoom) if self.zoom else 1.0
+            if self.rotation or self.zoom:
+                h_, w_ = image.shape[:2]
+                M = A.rotation_matrix((w_ // 2, h_ // 2), angle, scale)
+                image = A.warp_affine(image, M, (w_, h_))
+                # the reference warps labels with bilinear too (utils.py:353);
+                # interpolation-born ids are voided below.
+                label = A.warp_affine(label, M, (w_, h_))
+
+            if self.histeq:
+                image = A.clahe_bgr(image)
+
+            label = label.astype("int32")
+            # label hygiene (utils.py:360-365): ids not present pre-resize
+            # become void.
+            for j in np.setxor1d(np.unique(label), labels_present):
+                label[label == j] = self.n_classes
+            y = label.flatten()
+            y[y > (self.n_classes - 1)] = self.n_classes
+
+            self.Y[n] = np.expand_dims(y, -1)
+            self.F[n] = (self.Y[n] != 0).astype("float32")
+            self.F_SW[n] = fg_bg_pixel_weights(y, self.n_classes)
+            self.X[n] = image
+            self.SW[n] = adaptive_pixel_weights(y, self.n_classes)
+
+        return self.X, self.Y, {"pred_mask": self.SW}
+
+    def on_epoch_end(self):
+        c = list(zip(self.image_path_list, self.label_path_list))
+        random.shuffle(c)
+        self.image_path_list, self.label_path_list = zip(*c)
+
+
+def _random_crop(image, label, crop_shape):
+    """Reference utils.py:411-423."""
+    if (image.shape[0] != label.shape[0]) or (image.shape[1] != label.shape[1]):
+        raise Exception("Image and label must have the same dimensions!")
+    if (crop_shape[0] < image.shape[1]) and (crop_shape[1] < image.shape[0]):
+        x = random.randrange(image.shape[1] - crop_shape[0])
+        y = random.randrange(image.shape[0] - crop_shape[1])
+        return (image[y:y + crop_shape[1], x:x + crop_shape[0], :],
+                label[y:y + crop_shape[1], x:x + crop_shape[0]])
+    image = A.resize_bilinear(image, crop_shape)
+    label = A.resize_nearest(label, crop_shape)
+    return image, label
+
+
+class ArrayBatcher:
+    """In-memory batcher backing SegModel.train (reference utils.py:243-247)."""
+
+    def __init__(self, X, Y, batch_size: int, n_classes: int = 21,
+                 sample_weights=None):
+        self.X = np.asarray(X)
+        self.Y = np.asarray(Y)
+        if self.Y.ndim == 2:
+            self.Y = self.Y[..., None]
+        self.batch_size = batch_size
+        self.n_classes = n_classes
+        if sample_weights is None:
+            sw = np.stack([adaptive_pixel_weights(y.reshape(-1), n_classes)
+                           for y in self.Y])
+            self.SW = sw.astype("float32")
+        else:
+            self.SW = np.asarray(sample_weights, "float32")
+
+    def __len__(self):
+        return max(len(self.X) // self.batch_size, 1)
+
+    def __getitem__(self, i):
+        sl = slice(i * self.batch_size, (i + 1) * self.batch_size)
+        return self.X[sl], self.Y[sl], {"pred_mask": self.SW[sl]}
+
+    def on_epoch_end(self):
+        pass
+
+
+class Prefetcher:
+    """Background-thread prefetch queue over a generator — the TPU-side
+    replacement for Keras fit_generator's worker pool (utils.py:231-241).
+    Keeps the host pipeline ahead of the device step."""
+
+    def __init__(self, gen, max_queue_size: int = 10):
+        self.gen = gen
+        self.q: queue.Queue = queue.Queue(maxsize=max_queue_size)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def _worker(self, indices):
+        for i in indices:
+            if self._stop.is_set():
+                return
+            self.q.put(self.gen[i])
+        self.q.put(None)
+
+    def __iter__(self):
+        self._stop.clear()
+        self._thread = threading.Thread(
+            target=self._worker, args=(range(len(self.gen)),), daemon=True)
+        self._thread.start()
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            yield item
+
+    def close(self):
+        self._stop.set()

@@ -167,7 +167,7 @@ class Deeplabv3:
         return params, state
 
     def apply(self, params, state, img, training: bool = False, rng=None,
-              return_features: bool = False):
+              return_features: bool = False, frozen: frozenset = frozenset()):
         return core.apply_model(self._forward, params, state, img,
-                                training=training, rng=rng,
+                                training=training, rng=rng, frozen=frozen,
                                 return_features=return_features)

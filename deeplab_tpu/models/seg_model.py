@@ -61,9 +61,10 @@ class SegNet:
         example = jnp.zeros((batch_size,) + self.sz + (3,), jnp.float32)
         return core.init_model(self.forward, rng, example)
 
-    def apply(self, params, state, img, training: bool = False, rng=None):
+    def apply(self, params, state, img, training: bool = False, rng=None,
+              frozen: frozenset = frozenset()):
         return core.apply_model(self.forward, params, state, img,
-                                training=training, rng=rng)
+                                training=training, rng=rng, frozen=frozen)
 
 
 class SegModel:

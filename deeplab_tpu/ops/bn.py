@@ -24,7 +24,7 @@ def batch_norm(ctx, x, name: str, epsilon: float = 1e-3, momentum: float = 0.99)
     mov_mean = ctx.stat(name, "moving_mean", (c,), 0.0)
     mov_var = ctx.stat(name, "moving_variance", (c,), 1.0)
 
-    if ctx.training:
+    if ctx.training and name not in ctx.frozen:
         xf = x.astype(jnp.float32)
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(xf, axis=axes)

@@ -1,0 +1,2 @@
+from deeplab_tpu.parallel.mesh import (get_mesh, data_sharding,
+                                       replicated_sharding, shard_batch)

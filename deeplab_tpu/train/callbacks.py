@@ -1,0 +1,116 @@
+"""Framework callbacks with the reference's training-control semantics
+(notebook cell 5): best-val_Jaccard checkpointing, LR-on-plateau halving,
+early stopping.  All are host-side epoch-boundary logic; the device step
+never sees them except through the scalar ``lr_scale``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Callback:
+    def set_trainer(self, trainer):
+        self.trainer = trainer
+
+    def on_epoch_end(self, epoch: int, logs: dict):
+        pass
+
+
+class ModelCheckpoint(Callback):
+    """notebook cell 5: save_best_only weights-only checkpoint on
+    monitor='val_Jaccard', mode='max'.  Writes the Keras h5 format so the
+    reference can load our checkpoints and vice versa."""
+
+    def __init__(self, filepath: str, monitor: str = "val_Jaccard",
+                 mode: str = "max", save_best_only: bool = True,
+                 verbose: int = 0):
+        self.filepath = filepath
+        self.monitor = monitor
+        self.mode = mode
+        self.save_best_only = save_best_only
+        self.verbose = verbose
+        self.best = -np.inf if mode == "max" else np.inf
+
+    def _improved(self, value: float) -> bool:
+        return value > self.best if self.mode == "max" else value < self.best
+
+    def on_epoch_end(self, epoch: int, logs: dict):
+        value = logs.get(self.monitor)
+        if value is None:
+            print(f"warning: can save best model only with {self.monitor} "
+                  f"available, skipping (have: {sorted(logs)})")
+            return
+        if not self.save_best_only or self._improved(value):
+            self.best = value
+            from deeplab_tpu.params import save_keras_h5
+            save_keras_h5(self.filepath, self.trainer.params,
+                          self.trainer.state)
+            if self.verbose:
+                print(f"epoch {epoch}: saved {self.filepath} "
+                      f"({self.monitor}={value:.4f})")
+
+
+class ReduceLROnPlateau(Callback):
+    """notebook cell 5: factor=0.5, patience=5, min_lr=1e-6 on val_Jaccard."""
+
+    def __init__(self, monitor: str = "val_Jaccard", factor: float = 0.5,
+                 patience: int = 5, min_lr: float = 1e-6, mode: str = "max",
+                 verbose: int = 0):
+        self.monitor = monitor
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.mode = mode
+        self.verbose = verbose
+        self.best = -np.inf if mode == "max" else np.inf
+        self.wait = 0
+
+    def on_epoch_end(self, epoch: int, logs: dict):
+        value = logs.get(self.monitor)
+        if value is None:
+            return
+        improved = value > self.best if self.mode == "max" else value < self.best
+        if improved:
+            self.best = value
+            self.wait = 0
+            return
+        self.wait += 1
+        if self.wait >= self.patience:
+            old = self.trainer.current_lr()
+            if old > self.min_lr:
+                new_scale = max(self.trainer.lr_scale * self.factor,
+                                self.min_lr / self.trainer.base_lr)
+                self.trainer.lr_scale = new_scale
+                if self.verbose:
+                    print(f"epoch {epoch}: reducing lr to "
+                          f"{self.trainer.current_lr():.2e}")
+            self.wait = 0
+
+
+class EarlyStopping(Callback):
+    """notebook cell 5: patience=100 on val_Jaccard (mode max)."""
+
+    def __init__(self, monitor: str = "val_Jaccard", patience: int = 100,
+                 mode: str = "max", verbose: int = 0):
+        self.monitor = monitor
+        self.patience = patience
+        self.mode = mode
+        self.verbose = verbose
+        self.best = -np.inf if mode == "max" else np.inf
+        self.wait = 0
+
+    def on_epoch_end(self, epoch: int, logs: dict):
+        value = logs.get(self.monitor)
+        if value is None:
+            return
+        improved = value > self.best if self.mode == "max" else value < self.best
+        if improved:
+            self.best = value
+            self.wait = 0
+            return
+        self.wait += 1
+        if self.wait >= self.patience:
+            self.trainer.stop_training = True
+            if self.verbose:
+                print(f"epoch {epoch}: early stopping")

@@ -1,0 +1,71 @@
+"""Optimizer + layer-freeze policy.
+
+Reference compile (notebook cell 2): ``Adam(lr=7e-4, epsilon=1e-8,
+decay=1e-6)``.  Keras legacy ``decay`` is the per-step schedule
+``lr_t = lr / (1 + decay * step)``.  Freeze policy (cell 5): when
+fine-tuning pretrained weights, every layer *before* ``concat_projection``
+in the graph is frozen; it and everything after stays trainable.
+
+The Trainer applies a runtime ``lr_scale`` multiplier on top of the schedule
+(ReduceLROnPlateau) and zeroes updates of frozen layers — both as pure
+device-side ops inside the jitted step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import optax
+
+# Graph-order layers at-or-after 'concat_projection' in the reference model
+# (deeplabv3p.py:406-444 + the SegModel heads, utils.py:188-198).
+_TRAINABLE_TAIL_PREFIXES = (
+    "concat_projection",
+    "feature_projection0",
+    "decoder_conv0",
+    "decoder_conv1",
+    "logits_semantic",
+    "custom_logits_semantic",
+    "conv_upsample",
+    "subpixel",
+)
+
+
+def freeze_set(params, freeze_before: Optional[str] = "concat_projection"
+               ) -> frozenset:
+    """Layer names to freeze: all except the trainable tail (notebook cell 5).
+
+    ``freeze_before=None`` freezes nothing (training from scratch)."""
+    if freeze_before is None:
+        return frozenset()
+    assert freeze_before == "concat_projection", (
+        "the reference freeze policy is anchored at concat_projection")
+    return frozenset(
+        name for name in params
+        if not name.startswith(_TRAINABLE_TAIL_PREFIXES))
+
+
+def keras_adam_schedule(lr: float = 7e-4, decay: float = 1e-6):
+    def schedule(step):
+        return lr / (1.0 + decay * step)
+    return schedule
+
+
+def make_optimizer(lr: float = 7e-4, epsilon: float = 1e-8,
+                   decay: float = 1e-6) -> optax.GradientTransformation:
+    """Keras-Adam-equivalent optax chain (bias-corrected Adam + legacy decay
+    schedule)."""
+    return optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=epsilon),
+        optax.scale_by_learning_rate(keras_adam_schedule(lr, decay)),
+    )
+
+
+def mask_frozen(updates, frozen: frozenset):
+    """Zero parameter updates for frozen layers (device-side, jit-safe)."""
+    if not frozen:
+        return updates
+    return {layer: (jax.tree.map(lambda u: u * 0 if layer in frozen else u, sub)
+                    if layer in frozen else sub)
+            for layer, sub in updates.items()}

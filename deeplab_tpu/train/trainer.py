@@ -1,0 +1,194 @@
+"""TPU trainer: jitted train/eval steps, mesh data parallelism, callbacks.
+
+Replaces the reference's ``fit_generator`` path (utils.py:231-241 + Keras'
+C++ fit loop): one jitted train step (forward, void-masked weighted CE,
+backward, Adam update, metrics) with donated buffers, batch sharded over the
+mesh 'data' axis; gradients reduce over ICI via the psum XLA inserts.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from deeplab_tpu.losses import masked_sparse_ce
+from deeplab_tpu.metrics import Jaccard, sparse_accuracy_ignoring_last_label
+from deeplab_tpu.parallel.mesh import (data_sharding, get_mesh,
+                                       replicated_sharding)
+from deeplab_tpu.train.optimizer import freeze_set, make_optimizer, mask_frozen
+
+
+class Trainer:
+    def __init__(self, model, epochs: int = 20, callbacks: Iterable = (),
+                 lr: float = 7e-4, epsilon: float = 1e-8, decay: float = 1e-6,
+                 freeze_before: Optional[str] = None, mesh=None, seed: int = 0,
+                 verbose: int = 1):
+        self.model = model
+        self.epochs = epochs
+        self.callbacks = list(callbacks)
+        self.base_lr = lr
+        self.lr_scale = 1.0
+        self.decay = decay
+        self.epsilon = epsilon
+        self.freeze_before = freeze_before
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.seed = seed
+        self.verbose = verbose
+        self.stop_training = False
+        self.params = None
+        self.state = None
+        self.opt_state = None
+        self._step_fns = {}
+        for cb in self.callbacks:
+            cb.set_trainer(self)
+
+    def current_lr(self) -> float:
+        return self.base_lr * self.lr_scale
+
+    # ------------------------------------------------------------- steps ----
+
+    def _build_steps(self, frozen: frozenset):
+        tx = make_optimizer(self.base_lr, self.epsilon, self.decay)
+        model = self.model
+
+        def train_step(params, state, opt_state, lr_scale, rng, X, Y, SW):
+            def loss_fn(p):
+                probs, new_state = model.apply(p, state, X, training=True,
+                                               rng=rng, frozen=frozen)
+                return masked_sparse_ce(Y, probs, SW), (probs, new_state)
+
+            (loss, (probs, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = mask_frozen(updates, frozen)
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
+            params = optax.apply_updates(params, updates)
+            metrics = {
+                "loss": loss,
+                "Jaccard": Jaccard(Y, probs),
+                "sparse_accuracy": sparse_accuracy_ignoring_last_label(Y, probs),
+            }
+            return params, new_state, opt_state, metrics
+
+        def eval_step(params, state, X, Y, SW):
+            probs, _ = model.apply(params, state, X)
+            return {
+                "loss": masked_sparse_ce(Y, probs, SW),
+                "Jaccard": Jaccard(Y, probs),
+                "sparse_accuracy": sparse_accuracy_ignoring_last_label(Y, probs),
+            }
+
+        repl = replicated_sharding(self.mesh)
+        data = data_sharding(self.mesh)
+        train_jit = jax.jit(
+            train_step,
+            in_shardings=(repl, repl, repl, None, None, data, data, data),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(0, 1, 2),
+        )
+        eval_jit = jax.jit(
+            eval_step,
+            in_shardings=(repl, repl, data, data, data),
+            out_shardings=repl,
+        )
+        return train_jit, eval_jit, tx
+
+    # --------------------------------------------------------------- fit ----
+
+    def fit(self, params, state, train_gen, valid_gen=None, initial_epoch=0):
+        frozen = freeze_set(params, self.freeze_before)
+
+        # The batch must divide over the mesh 'data' axis.  If it doesn't
+        # (e.g. bs=2 on 8 chips, the notebook's config), shrink to the
+        # largest usable submesh rather than padding — padding would
+        # contaminate BN batch statistics.
+        X0, _, _ = train_gen[0]
+        n_data = self.mesh.shape["data"]
+        bs = X0.shape[0]
+        if bs % n_data != 0:
+            import math
+            usable = math.gcd(bs, n_data)
+            devs = self.mesh.devices.reshape(-1)[:usable * self.mesh.shape["space"]]
+            self.mesh = get_mesh(devs, data=usable,
+                                 space=self.mesh.shape["space"])
+            if self.verbose:
+                print(f"warning: batch {bs} not divisible by data axis "
+                      f"{n_data}; using {usable}-device submesh")
+
+        train_jit, eval_jit, tx = self._build_steps(frozen)
+
+        repl = replicated_sharding(self.mesh)
+        self.params = jax.device_put(params, repl)
+        self.state = jax.device_put(state, repl)
+        self.opt_state = jax.device_put(tx.init(self.params), repl)
+
+        base_rng = jax.random.key(self.seed)
+        history = {"loss": [], "Jaccard": [], "sparse_accuracy": []}
+        if valid_gen is not None:
+            history.update({"val_loss": [], "val_Jaccard": [],
+                            "val_sparse_accuracy": []})
+        data_sh = data_sharding(self.mesh)
+        step = 0
+
+        for epoch in range(initial_epoch, self.epochs):
+            t0 = time.time()
+            sums, n_batches = {}, 0
+            for i in range(len(train_gen)):
+                X, Y, sw_dict = train_gen[i]
+                SW = sw_dict["pred_mask"] if isinstance(sw_dict, dict) else sw_dict
+                X, Y, SW = (jax.device_put(jnp.asarray(a), data_sh)
+                            for a in (X, Y, SW))
+                rng = jax.random.fold_in(base_rng, step)
+                self.params, self.state, self.opt_state, metrics = train_jit(
+                    self.params, self.state, self.opt_state,
+                    jnp.float32(self.lr_scale), rng, X, Y, SW)
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                n_batches += 1
+                step += 1
+            logs = {k: v / max(n_batches, 1) for k, v in sums.items()}
+
+            if valid_gen is not None:
+                vsums, vn = {}, 0
+                for i in range(len(valid_gen)):
+                    X, Y, sw_dict = valid_gen[i]
+                    SW = (sw_dict["pred_mask"] if isinstance(sw_dict, dict)
+                          else sw_dict)
+                    X, Y, SW = (jax.device_put(jnp.asarray(a), data_sh)
+                                for a in (X, Y, SW))
+                    m = eval_jit(self.params, self.state, X, Y, SW)
+                    for k, v in m.items():
+                        vsums[k] = vsums.get(k, 0.0) + float(v)
+                    vn += 1
+                logs.update({f"val_{k}": v / max(vn, 1)
+                             for k, v in vsums.items()})
+
+            for k, v in logs.items():
+                history.setdefault(k, []).append(v)
+            if self.verbose:
+                msg = " - ".join(f"{k}: {v:.4f}" for k, v in logs.items())
+                print(f"Epoch {epoch + 1}/{self.epochs} "
+                      f"({time.time() - t0:.1f}s) - {msg}")
+
+            train_gen.on_epoch_end()
+            for cb in self.callbacks:
+                cb.on_epoch_end(epoch, logs)
+            if self.stop_training:
+                break
+        return history
+
+    # ------------------------------------------------------------ predict ----
+
+    def predict(self, params, state, X, batch_size: int = 16):
+        outs = []
+        n = len(X)
+        fwd = jax.jit(lambda p, s, x: self.model.apply(p, s, x)[0])
+        for i in range(0, n, batch_size):
+            xb = jnp.asarray(X[i:i + batch_size])
+            outs.append(np.asarray(fwd(params, state, xb)))
+        return np.concatenate(outs, axis=0)

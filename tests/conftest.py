@@ -1,13 +1,15 @@
 """Test config: force CPU with 8 virtual devices so mesh/sharding tests run
-without TPU hardware (SURVEY.md §4)."""
+without TPU hardware (SURVEY.md §4).
 
-import os
+The environment pre-initializes the axon TPU plugin (JAX_PLATFORMS=axon is
+exported before the interpreter starts), so env-var overrides from conftest
+are too late; ``jax.config`` before first backend use is the reliable route.
+"""
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

