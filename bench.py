@@ -1,0 +1,73 @@
+"""Headline benchmark: 512x512 MobileNetV2-DeepLabV3+ inference throughput.
+
+Baseline target (BASELINE.json): >=2000 images/sec on v5e-8 with CRF, i.e.
+250 img/s/chip.  ``vs_baseline`` is measured img/s/chip over 250.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N/250}
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 32
+WARMUP = 3
+ITERS = 20
+BASELINE_PER_CHIP = 2000.0 / 8.0  # v5e-8 target split per chip
+
+
+def main():
+    from deeplab_tpu.models.seg_model import SegNet
+
+    model = SegNet((512, 512), 21, "mobilenetv2", "original")
+    params, state = model.init(jax.random.key(0))
+
+    crf_params = None
+    try:
+        from deeplab_tpu.crf import CrfConfig, mean_field_batched
+        crf_params = CrfConfig()
+    except Exception:
+        mean_field_batched = None
+
+    @jax.jit
+    def infer(params, state, img):
+        probs, _ = model.apply(params, state, img, compute_dtype=jnp.bfloat16)
+        preds = jnp.argmax(
+            probs.reshape(img.shape[0], 512, 512, 21), axis=-1)
+        if mean_field_batched is not None:
+            preds = mean_field_batched(img, preds, crf_params)
+        return preds
+
+    @jax.jit
+    def checksum(x):
+        return jnp.sum(x, dtype=jnp.int32)
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(BATCH, 512, 512, 3) * 255, jnp.float32)
+
+    # block_until_ready is unreliable over the axon tunnel; force execution
+    # of every step with device-side checksums and one final host fetch.
+    for _ in range(WARMUP):
+        np.asarray(checksum(infer(params, state, img)))
+
+    t0 = time.perf_counter()
+    sums = [checksum(infer(params, state, img)) for _ in range(ITERS)]
+    np.asarray(jnp.stack(sums)).sum()
+    dt = time.perf_counter() - t0
+
+    ips = BATCH * ITERS / dt
+    crf_tag = "+CRF" if mean_field_batched is not None else ""
+    print(json.dumps({
+        "metric": f"512x512 VOC inference{crf_tag} images/sec/chip",
+        "value": round(ips, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(ips / BASELINE_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,14 +87,17 @@ def init_model(model_fn: Callable, rng: jax.Array, *example_inputs, **kwargs):
 
 def apply_model(model_fn: Callable, params: Params, state: State, *inputs,
                 training: bool = False, rng: Optional[jax.Array] = None,
-                frozen: frozenset = frozenset(), **kwargs):
+                frozen: frozenset = frozenset(), compute_dtype=jnp.float32,
+                **kwargs):
     """Run ``model_fn`` in apply mode. Returns (output, new_state).
 
     ``new_state`` contains updated BN moving stats when ``training=True``
     (merged over the old state), else it equals ``state``.
+    ``compute_dtype=jnp.bfloat16`` selects the fast MXU path (params stay
+    f32; activations and conv inputs run bf16).
     """
     ctx = Ctx(mode="apply", params=params, state=state, training=training,
-              rng=rng, frozen=frozen)
+              rng=rng, frozen=frozen, compute_dtype=compute_dtype)
     out = model_fn(ctx, *inputs, **kwargs)
     if training and ctx.new_state:
         merged = {k: dict(v) for k, v in state.items()}

@@ -114,7 +114,7 @@ def deeplabv3_forward(ctx, img, *, backbone: str = "mobilenetv2", OS: int = 16,
     last_layer_name = ("logits_semantic" if classes == 21
                        else "custom_logits_semantic")
     x = conv2d(ctx, x, classes, 1, last_layer_name, use_bias=True)
-    x = resize_bilinear_tf1(x, input_hw)
+    x = resize_bilinear_tf1(x, input_hw).astype(jnp.float32)
     if infer:
         return jax.nn.softmax(x, axis=-1)
     x = x.reshape(x.shape[0], input_hw[0] * input_hw[1], classes)
@@ -167,7 +167,9 @@ class Deeplabv3:
         return params, state
 
     def apply(self, params, state, img, training: bool = False, rng=None,
-              return_features: bool = False, frozen: frozenset = frozenset()):
+              return_features: bool = False, frozen: frozenset = frozenset(),
+              compute_dtype=jnp.float32):
         return core.apply_model(self._forward, params, state, img,
                                 training=training, rng=rng, frozen=frozen,
+                                compute_dtype=compute_dtype,
                                 return_features=return_features)

@@ -54,7 +54,7 @@ class SegNet:
             x = phase_shift(x, r)
         else:
             raise ValueError(f"unknown net {self.net!r}")
-        x = x.reshape(x.shape[0], self.sz[0] * self.sz[1], n)
+        x = x.astype(jnp.float32).reshape(x.shape[0], self.sz[0] * self.sz[1], n)
         return jax.nn.softmax(x, axis=-1)
 
     def init(self, rng, batch_size: int = 1):
@@ -62,9 +62,11 @@ class SegNet:
         return core.init_model(self.forward, rng, example)
 
     def apply(self, params, state, img, training: bool = False, rng=None,
-              frozen: frozenset = frozenset()):
+              frozen: frozenset = frozenset(), compute_dtype=None):
+        import jax.numpy as jnp
         return core.apply_model(self.forward, params, state, img,
-                                training=training, rng=rng, frozen=frozen)
+                                training=training, rng=rng, frozen=frozen,
+                                compute_dtype=compute_dtype or jnp.float32)
 
 
 class SegModel:

@@ -27,7 +27,7 @@ class Trainer:
     def __init__(self, model, epochs: int = 20, callbacks: Iterable = (),
                  lr: float = 7e-4, epsilon: float = 1e-8, decay: float = 1e-6,
                  freeze_before: Optional[str] = None, mesh=None, seed: int = 0,
-                 verbose: int = 1):
+                 verbose: int = 1, spatial: bool = False):
         self.model = model
         self.epochs = epochs
         self.callbacks = list(callbacks)
@@ -37,6 +37,10 @@ class Trainer:
         self.epsilon = epsilon
         self.freeze_before = freeze_before
         self.mesh = mesh if mesh is not None else get_mesh()
+        # Shard image height over the mesh 'space' axis (XLA SPMD inserts
+        # conv halo exchanges) — the TPU-native answer to large images
+        # (SURVEY.md §5.7).
+        self.spatial = spatial
         self.seed = seed
         self.verbose = verbose
         self.stop_training = False
@@ -85,15 +89,18 @@ class Trainer:
 
         repl = replicated_sharding(self.mesh)
         data = data_sharding(self.mesh)
+        # images can additionally shard H over 'space'; flat labels/weights
+        # shard batch only (XLA reshards activations at the flatten point).
+        img_sh = data_sharding(self.mesh, spatial=self.spatial)
         train_jit = jax.jit(
             train_step,
-            in_shardings=(repl, repl, repl, None, None, data, data, data),
+            in_shardings=(repl, repl, repl, None, None, img_sh, data, data),
             out_shardings=(repl, repl, repl, repl),
             donate_argnums=(0, 1, 2),
         )
         eval_jit = jax.jit(
             eval_step,
-            in_shardings=(repl, repl, data, data, data),
+            in_shardings=(repl, repl, img_sh, data, data),
             out_shardings=repl,
         )
         return train_jit, eval_jit, tx
@@ -133,6 +140,7 @@ class Trainer:
             history.update({"val_loss": [], "val_Jaccard": [],
                             "val_sparse_accuracy": []})
         data_sh = data_sharding(self.mesh)
+        img_sh = data_sharding(self.mesh, spatial=self.spatial)
         step = 0
 
         for epoch in range(initial_epoch, self.epochs):
@@ -141,8 +149,9 @@ class Trainer:
             for i in range(len(train_gen)):
                 X, Y, sw_dict = train_gen[i]
                 SW = sw_dict["pred_mask"] if isinstance(sw_dict, dict) else sw_dict
-                X, Y, SW = (jax.device_put(jnp.asarray(a), data_sh)
-                            for a in (X, Y, SW))
+                X = jax.device_put(jnp.asarray(X), img_sh)
+                Y = jax.device_put(jnp.asarray(Y), data_sh)
+                SW = jax.device_put(jnp.asarray(SW), data_sh)
                 rng = jax.random.fold_in(base_rng, step)
                 self.params, self.state, self.opt_state, metrics = train_jit(
                     self.params, self.state, self.opt_state,
@@ -159,8 +168,9 @@ class Trainer:
                     X, Y, sw_dict = valid_gen[i]
                     SW = (sw_dict["pred_mask"] if isinstance(sw_dict, dict)
                           else sw_dict)
-                    X, Y, SW = (jax.device_put(jnp.asarray(a), data_sh)
-                                for a in (X, Y, SW))
+                    X = jax.device_put(jnp.asarray(X), img_sh)
+                    Y = jax.device_put(jnp.asarray(Y), data_sh)
+                    SW = jax.device_put(jnp.asarray(SW), data_sh)
                     m = eval_jit(self.params, self.state, X, Y, SW)
                     for k, v in m.items():
                         vsums[k] = vsums.get(k, 0.0) + float(v)
