@@ -1,0 +1,173 @@
+"""Command-line interface: train / evaluate / predict / export-config.
+
+The reference's entry point is a notebook; this CLI covers the same workflow
+(notebook cells 0-11) reproducibly:
+
+    python -m deeplab_tpu.cli export-config > config.json
+    python -m deeplab_tpu.cli train --config config.json
+    python -m deeplab_tpu.cli evaluate --config config.json --weights w.h5
+    python -m deeplab_tpu.cli predict --config config.json --weights w.h5 \
+        --images img1.jpg img2.jpg --crf --out-dir preds/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _build(cfg, load_weights=False, weights=None):
+    import jax
+    from deeplab_tpu.models.seg_model import SegModel
+    seg = SegModel(cfg.data.dataset, tuple(cfg.model.image_size))
+    seg.set_batch_size(cfg.train.batch_size)
+    seg.set_num_epochs(cfg.train.epochs)
+    net = seg.create_seg_model(cfg.model.net, n=cfg.model.n_classes,
+                               backbone=cfg.model.backbone,
+                               load_weights=False)
+    if weights:
+        from deeplab_tpu.params import load_keras_h5
+        seg.params, seg.state = load_keras_h5(weights, seg.params, seg.state)
+    elif load_weights and os.path.exists(seg.modelpath):
+        seg.load_weights(net)
+    return seg, net
+
+
+def cmd_train(args):
+    from deeplab_tpu.config import Config
+    from deeplab_tpu.train.callbacks import (EarlyStopping, ModelCheckpoint,
+                                             ReduceLROnPlateau)
+    from deeplab_tpu.train.trainer import Trainer
+    cfg = Config.load(args.config) if args.config else __default_cfg()
+    seg, net = _build(cfg, load_weights=args.resume_weights,
+                      weights=args.weights)
+
+    d = cfg.data
+    train_gen = seg.create_generators(
+        blur=d.blur, crop_shape=d.crop_shape, mode="train",
+        n_classes=cfg.model.n_classes, horizontal_flip=d.horizontal_flip,
+        vertical_flip=d.vertical_flip, brightness=d.brightness,
+        rotation=d.rotation, zoom=d.zoom,
+        validation_split=d.validation_split, seed=d.seed,
+        do_ahisteq=d.do_ahisteq)
+    valid_gen = seg.create_generators(
+        blur=0, crop_shape=d.crop_shape, mode="validation",
+        n_classes=cfg.model.n_classes, horizontal_flip=False,
+        vertical_flip=False, brightness=0.0, rotation=0.0, zoom=0.0,
+        validation_split=d.validation_split, seed=d.seed, do_ahisteq=False)
+
+    t = cfg.train
+    ckpt_path = os.path.join(t.checkpoint_dir,
+                             f"{cfg.model.backbone}_{cfg.model.net}.h5")
+    callbacks = [
+        ModelCheckpoint(ckpt_path, monitor=t.monitor, mode="max", verbose=1),
+        ReduceLROnPlateau(monitor=t.monitor, factor=t.reduce_lr_factor,
+                          patience=t.reduce_lr_patience, min_lr=t.min_lr),
+        EarlyStopping(monitor=t.monitor, patience=t.early_stop_patience),
+    ]
+    trainer = Trainer(net, epochs=t.epochs, callbacks=callbacks, lr=t.lr,
+                      epsilon=t.epsilon, decay=t.decay,
+                      freeze_before=t.freeze_before if args.finetune else None,
+                      spatial=t.spatial, seed=t.seed)
+    history = trainer.fit(seg.params, seg.state, train_gen, valid_gen,
+                          state_checkpoint=t.state_checkpoint,
+                          resume_from=t.state_checkpoint if args.resume else None)
+    print({k: v[-1] for k, v in history.items() if v})
+
+
+def cmd_evaluate(args):
+    from deeplab_tpu.config import Config
+    from deeplab_tpu.viz import calculate_iou
+    from deeplab_tpu.data.voc import get_VOC2012_classes
+    cfg = Config.load(args.config) if args.config else __default_cfg()
+    seg, net = _build(cfg, weights=args.weights)
+    seg.set_batch_size(1)
+    gen = seg.create_generators(
+        crop_shape=None, mode="validation", n_classes=cfg.model.n_classes,
+        horizontal_flip=False, vertical_flip=False, brightness=0.0,
+        rotation=0.0, zoom=0.0, validation_split=0.05, seed=cfg.data.seed,
+        do_ahisteq=False)
+    conf, iou, mean_iou = calculate_iou(net, seg.params, seg.state, gen,
+                                        nb_classes=cfg.model.n_classes)
+    names = list(get_VOC2012_classes().values())[:cfg.model.n_classes]
+    for n, v in zip(names, iou):
+        print(f"{n:>14s}: {v:.4f}")
+    print(f"Mean IOU (published metric): {mean_iou:.4f}")
+
+
+def cmd_predict(args):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from deeplab_tpu.config import Config
+    from deeplab_tpu.data.generator import _imread_bgr
+    cfg = Config.load(args.config) if args.config else __default_cfg()
+    seg, net = _build(cfg, weights=args.weights)
+    h, w = cfg.model.image_size
+    os.makedirs(args.out_dir, exist_ok=True)
+    fwd = jax.jit(lambda p, s, x: net.apply(p, s, x)[0])
+    from deeplab_tpu.data.augment import resize_bilinear
+    for path in args.images:
+        bgr = resize_bilinear(_imread_bgr(path), (w, h)).astype(np.float32)
+        probs = fwd(seg.params, seg.state, jnp.asarray(bgr[None]))
+        pred = np.argmax(np.asarray(probs), -1)[0].reshape(h, w)
+        if args.crf:
+            from deeplab_tpu.crf import do_crf
+            pred = do_crf(bgr, pred.astype(np.int32), zero_unsure=False)
+        out = os.path.join(args.out_dir,
+                           os.path.splitext(os.path.basename(path))[0]
+                           + "_mask.png")
+        Image.fromarray(pred.astype(np.uint8), mode="L").save(out)
+        print(f"{path} -> {out} (classes: {sorted(set(pred.flat))})")
+
+
+def cmd_export_config(args):
+    from deeplab_tpu.config import Config
+    sys.stdout.write(Config().to_json() + "\n")
+
+
+def __default_cfg():
+    from deeplab_tpu.config import Config
+    return Config()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="deeplab_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train", help="fine-tune or train the model")
+    pt.add_argument("--config")
+    pt.add_argument("--weights", help="initial weights h5")
+    pt.add_argument("--resume-weights", action="store_true",
+                    help="load weights/{backbone}_{net}.h5 if present")
+    pt.add_argument("--resume", action="store_true",
+                    help="resume full train state from state_checkpoint")
+    pt.add_argument("--finetune", action="store_true", default=True)
+    pt.add_argument("--no-finetune", dest="finetune", action="store_false")
+    pt.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser("evaluate", help="dataset confusion-matrix IoU")
+    pe.add_argument("--config")
+    pe.add_argument("--weights")
+    pe.set_defaults(fn=cmd_evaluate)
+
+    pp = sub.add_parser("predict", help="predict masks for images")
+    pp.add_argument("--config")
+    pp.add_argument("--weights")
+    pp.add_argument("--images", nargs="+", required=True)
+    pp.add_argument("--crf", action="store_true")
+    pp.add_argument("--out-dir", default="preds")
+    pp.set_defaults(fn=cmd_predict)
+
+    pc = sub.add_parser("export-config", help="print default config JSON")
+    pc.set_defaults(fn=cmd_export_config)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,7 +107,9 @@ class Trainer:
 
     # --------------------------------------------------------------- fit ----
 
-    def fit(self, params, state, train_gen, valid_gen=None, initial_epoch=0):
+    def fit(self, params, state, train_gen, valid_gen=None, initial_epoch=0,
+            state_checkpoint: Optional[str] = None,
+            resume_from: Optional[str] = None):
         frozen = freeze_set(params, self.freeze_before)
 
         # The batch must divide over the mesh 'data' axis.  If it doesn't
@@ -133,6 +135,19 @@ class Trainer:
         self.params = jax.device_put(params, repl)
         self.state = jax.device_put(state, repl)
         self.opt_state = jax.device_put(tx.init(self.params), repl)
+        step = 0
+
+        if resume_from is not None and __import__("os").path.exists(resume_from):
+            from deeplab_tpu.train.checkpoint import restore_train_state
+            (p, s, o, step, self.lr_scale, extra) = restore_train_state(
+                resume_from, self.params, self.state, self.opt_state)
+            self.params = jax.device_put(p, repl)
+            self.state = jax.device_put(s, repl)
+            self.opt_state = jax.device_put(o, repl)
+            initial_epoch = max(initial_epoch, extra.get("epoch", 0))
+            if self.verbose:
+                print(f"resumed from {resume_from} "
+                      f"(epoch {initial_epoch}, step {step})")
 
         base_rng = jax.random.key(self.seed)
         history = {"loss": [], "Jaccard": [], "sparse_accuracy": []}
@@ -141,7 +156,6 @@ class Trainer:
                             "val_sparse_accuracy": []})
         data_sh = data_sharding(self.mesh)
         img_sh = data_sharding(self.mesh, spatial=self.spatial)
-        step = 0
 
         for epoch in range(initial_epoch, self.epochs):
             t0 = time.time()
@@ -188,6 +202,11 @@ class Trainer:
             train_gen.on_epoch_end()
             for cb in self.callbacks:
                 cb.on_epoch_end(epoch, logs)
+            if state_checkpoint is not None:
+                from deeplab_tpu.train.checkpoint import save_train_state
+                save_train_state(state_checkpoint, self.params, self.state,
+                                 self.opt_state, step, self.lr_scale,
+                                 extra={"epoch": epoch + 1})
             if self.stop_training:
                 break
         return history

@@ -1,0 +1,79 @@
+"""Evaluation & visualization (reference utils.py:56-71 + notebook cells 8-11).
+
+``plot_confusion_matrix`` mirrors the reference's row-normalized heatmap;
+``mIOU`` and ``calculate_iou`` are the notebook's evaluation entry points with
+the per-pixel Python loop replaced by one device-side bincount
+(metrics.confusion_matrix), reproducing the published numbers including the
+``conf_m[l-1, p-1]`` quirk.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+
+from deeplab_tpu.metrics import confusion_matrix as _confusion_matrix
+from deeplab_tpu.metrics import iou_from_confusion, mean_iou_published
+
+
+def plot_confusion_matrix(cm, classes, normalize=False,
+                          title="Confusion matrix", cmap=None):
+    """Reference utils.py:56-71 (matplotlib heatmap). Returns the (possibly
+    normalized) matrix, like the reference."""
+    import matplotlib.pyplot as plt
+    cmap = cmap or plt.cm.Blues
+    cm = np.asarray(cm)
+    if normalize:
+        cm = cm.astype("float") / cm.sum(axis=1)[:, np.newaxis]
+    plt.imshow(cm, interpolation="nearest", cmap=cmap)
+    plt.title(title, fontsize=11)
+    tick_marks = np.arange(len(classes))
+    plt.xticks(tick_marks, classes, rotation=90, fontsize=9)
+    plt.yticks(tick_marks, classes, fontsize=9)
+    thresh = cm.max() / 2.0
+    for i, j in itertools.product(range(cm.shape[0]), range(cm.shape[1])):
+        plt.text(j, i, np.round(cm[i, j], 2), horizontalalignment="center",
+                 color="white" if cm[i, j] > thresh else "black", fontsize=7)
+    plt.tight_layout()
+    plt.ylabel("True label", fontsize=9)
+    plt.xlabel("Predicted label", fontsize=9)
+    return cm
+
+
+def mIOU(gt: np.ndarray, preds: np.ndarray) -> float:
+    """Per-image mean IoU over the labels present in gt (notebook cell 8)."""
+    gt = np.asarray(gt)
+    preds = np.asarray(preds)
+    ulabels = np.unique(gt)
+    iou = np.zeros(len(ulabels))
+    for k, u in enumerate(ulabels):
+        inter = np.sum((gt == u) & (preds == u))
+        union = np.sum((gt == u) | (preds == u))
+        iou[k] = inter / union if union else 0.0
+    return float(np.round(iou.mean(), 2))
+
+
+def calculate_iou(net, params, state, generator, nb_classes: int = 21,
+                  image_size=None, ref_shift: bool = True):
+    """Dataset-level confusion matrix (notebook cell 10), vectorized.
+
+    ``ref_shift=True`` reproduces the notebook's ``conf_m[l-1, p-1]``
+    indexing (the published numbers); pass False for the standard matrix.
+    Returns (conf_m, per-class IoU, published mean-IOU scalar).
+    """
+    import jax
+    sz = image_size or net.sz
+    fwd = jax.jit(lambda p, s, x: net.apply(p, s, x)[0])
+    conf = jnp.zeros((nb_classes, nb_classes), jnp.int32)
+    for i in range(len(generator)):
+        X, Y, _ = generator[i]
+        probs = fwd(params, state, jnp.asarray(X))
+        preds = jnp.argmax(probs, axis=-1)             # (B, H*W)
+        labels = jnp.asarray(Y[..., 0])
+        conf = conf + _confusion_matrix(labels, preds, nb_classes,
+                                        ref_shift=ref_shift)
+    iou = iou_from_confusion(conf)
+    mean_iou = mean_iou_published(conf)
+    return np.asarray(conf), np.asarray(iou), float(mean_iou)
