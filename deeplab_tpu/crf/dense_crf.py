@@ -37,6 +37,10 @@ class CrfConfig:
     compat_bilateral: float = 10.0
     n_iters: int = 5
     gt_prob: float = 0.7
+    # Bilateral-grid color sampling in units of srgb: 1.0 = sample at sigma
+    # (accurate), 2.0 = half the bins per channel (~7x fewer grid FLOPs,
+    # slightly coarser kernel quadrature).
+    color_step: float = 1.0
 
 
 def unary_from_labels(labels: jnp.ndarray, n_labels: int, gt_prob: float,
@@ -109,128 +113,162 @@ def gaussian_message(Q_img: jnp.ndarray, sigma: float, norm=None
 
 # ------------------------------------------------------- bilateral grid ----
 
-_BLUR_TAPS = np.exp(-0.5 * np.arange(-2, 3, dtype=np.float64) ** 2).astype(
-    np.float32)  # sigma=1 in grid units (features pre-scaled by sigma)
+def _blur_taps(step: float = 1.0) -> np.ndarray:
+    """Gaussian taps at integer grid offsets; grid step is ``step`` feature
+    sigmas (features pre-scaled by sigma)."""
+    radius = max(1, int(math.ceil(2.2 / step)))
+    d = np.arange(-radius, radius + 1, dtype=np.float64)
+    return np.exp(-0.5 * (d * step) ** 2).astype(np.float32)
 
 
-def _grid_shape(h: int, w: int, sxy: float, srgb: float):
-    ny = int(math.floor((h - 1) / sxy)) + 2
-    nx = int(math.floor((w - 1) / sxy)) + 2
-    nc = int(math.floor(255.0 / srgb)) + 2
-    return ny, nx, nc
+def _color_factors(im: jnp.ndarray, srgb: float, nc: int):
+    """Per-channel multilinear grid weights: (H*W, 3, nc) dense factors with
+    two nonzeros per row.  Dense-small is deliberate: they feed MXU matmuls
+    instead of scatters."""
+    coords = im.astype(jnp.float32) / srgb                  # (H, W, 3)
+    base = jnp.floor(coords)
+    frac = (coords - base).reshape(-1, 3)
+    base = base.reshape(-1, 3).astype(jnp.int32)
+    bins = jnp.arange(nc, dtype=jnp.int32)                  # (nc,)
+    a = (base[..., None] == bins) * (1.0 - frac[..., None]) \
+        + ((base + 1)[..., None] == bins) * frac[..., None]
+    return a                                                 # (N, 3, nc)
 
 
-def _blur_axis(grid: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """5-tap Gaussian blur along one grid axis (zero padding)."""
-    out = grid * _BLUR_TAPS[2]
-    for k, offset in ((1, 1), (0, 2)):
-        wgt = _BLUR_TAPS[k]
-        n = grid.shape[axis]
-        if offset >= n:
-            continue
-        lo = jax.lax.slice_in_dim(grid, offset, n, axis=axis)
-        hi = jax.lax.slice_in_dim(grid, 0, n - offset, axis=axis)
-        pad = [(0, 0)] * grid.ndim
-        pad_lo = list(pad)
-        pad_lo[axis] = (0, offset)
-        pad_hi = list(pad)
-        pad_hi[axis] = (offset, 0)
-        out = out + wgt * (jnp.pad(lo, pad_lo) + jnp.pad(hi, pad_hi))
-    return out
-
-
-def _bilateral_coords(im: jnp.ndarray, sxy: float, srgb: float):
-    """Per-pixel 5-D grid coordinates (float) for (H, W, 3) uint8-range im."""
-    h, w, _ = im.shape
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None] / sxy
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :] / sxy
-    ys = jnp.broadcast_to(ys, (h, w))
-    xs = jnp.broadcast_to(xs, (h, w))
-    rgb = im.astype(jnp.float32) / srgb
-    return jnp.stack([ys, xs, rgb[..., 0], rgb[..., 1], rgb[..., 2]],
-                     axis=-1).reshape(-1, 5)  # (N, 5)
-
-
-def _corner_weights(frac: jnp.ndarray):
-    """Multilinear weights for the 2^5 corners. frac: (N, 5) in [0,1).
-    Returns (32, N) weights and per-corner offsets (32, 5)."""
-    offsets = np.array([[(c >> d) & 1 for d in range(5)] for c in range(32)],
-                       np.int32)  # (32, 5)
-    w = jnp.ones((32, frac.shape[0]), frac.dtype)
-    for d in range(5):
-        fd = frac[:, d]
-        w = w * jnp.where(offsets[:, d:d + 1] == 1, fd[None, :],
-                          1.0 - fd[None, :])
-    return w, offsets
+def _pad_to_cells(x: jnp.ndarray, cs: int):
+    h, w = x.shape[:2]
+    ph, pw = (-h) % cs, (-w) % cs
+    if ph or pw:
+        pad = [(0, ph), (0, pw)] + [(0, 0)] * (x.ndim - 2)
+        x = jnp.pad(x, pad)
+    return x, (h + ph) // cs, (w + pw) // cs
 
 
 def bilateral_filter(im: jnp.ndarray, values: jnp.ndarray, sxy: float,
-                     srgb: float) -> jnp.ndarray:
-    """Approximate K @ values for the bilateral kernel via splat/blur/slice.
-    im: (H, W, 3); values: (N, L).  Returns (N, L).  Self-contribution is
-    INCLUDED (see ``bilateral_self_weight``)."""
+                     srgb: float, color_step: float = 1.0) -> jnp.ndarray:
+    """Approximate K @ values for the bilateral kernel.
+
+    TPU-native formulation with zero scatters/gathers:
+    - spatial: box cells of ``round(sxy)`` px — pixel->cell assignment is a
+      pure reshape; cell-to-cell Gaussian blur finishes the spatial kernel
+    - color: per-channel multilinear factors contracted on the MXU
+      (splat: (rg,P)x(P,b*L) per cell; slice: the transpose)
+    im: (H, W, 3); values: (N, L).  Self-contribution is INCLUDED
+    (see ``bilateral_self_weight``).
+    """
     h, w, _ = im.shape
-    ny, nx, nc = _grid_shape(h, w, sxy, srgb)
-    dims = (ny, nx, nc, nc, nc)
-    coords = _bilateral_coords(im, sxy, srgb)
-    base = jnp.floor(coords).astype(jnp.int32)
-    frac = coords - base
-    cw, offsets = _corner_weights(frac)          # (32, N), (32, 5)
-
-    strides = np.array([nx * nc * nc * nc, nc * nc * nc, nc * nc, nc, 1],
-                       np.int32)
-    flat_base = base @ jnp.asarray(strides)      # (N,)
-    total = int(np.prod(dims))
-
+    cs = max(int(round(sxy)), 1)
+    srgb_grid = srgb * color_step
+    nc = int(math.floor(255.0 / srgb_grid)) + 2
     L = values.shape[1]
-    grid = jnp.zeros((total, L), values.dtype)
-    off_flat = offsets @ strides                  # (32,) numpy
-    for c in range(32):
-        grid = grid.at[flat_base + int(off_flat[c])].add(
-            cw[c][:, None] * values)
 
-    grid = grid.reshape(dims + (L,))
-    for axis in range(5):
-        grid = _blur_axis(grid, axis)
-    grid = grid.reshape(total, L)
+    v_img, ny, nx = _pad_to_cells(values.reshape(h, w, L), cs)
+    im_pad, _, _ = _pad_to_cells(im, cs)
+    P = cs * cs
 
-    out = jnp.zeros_like(values)
-    for c in range(32):
-        out = out + cw[c][:, None] * grid[flat_base + int(off_flat[c])]
-    return out
+    def cells_of(x, ch):
+        return (x.reshape(ny, cs, nx, cs, ch).transpose(0, 2, 1, 3, 4)
+                .reshape(ny * nx, P, ch))
+
+    V = cells_of(v_img, L)                                   # (Z, P, L)
+    im_cells = cells_of(im_pad.astype(jnp.float32), 3)       # (Z, P, 3)
+    coords = im_cells / srgb_grid
+    base = jnp.floor(coords)
+    frac = coords - base
+    base = base.astype(jnp.int32)
+    bins = jnp.arange(nc, dtype=jnp.int32)
+    # per-channel multilinear factors, built directly in cell layout
+    fac = (base[..., None] == bins) * (1.0 - frac[..., None]) \
+        + ((base + 1)[..., None] == bins) * frac[..., None]  # (Z,P,3,nc)
+    ar, ag, ab = fac[:, :, 0], fac[:, :, 1], fac[:, :, 2]    # (Z,P,nc)
+
+    # All big tensors live in FLAT (Z, P, nc*nc) layouts — nc-sized minor
+    # dims would be tile-padded ~6x on TPU and force relayouts.
+    bf = jnp.bfloat16
+    t_rg = (jnp.repeat(ar, nc, axis=-1)
+            * jnp.tile(ag, (1, 1, nc))).astype(bf)           # c = r*nc+g
+    t_lb = (jnp.repeat(V, nc, axis=-1)
+            * jnp.tile(ab, (1, 1, L))).astype(bf)            # d = l*nc+b
+
+    # splat: one batched MXU matmul (c x P) @ (P x d) per cell
+    G = jnp.einsum("zpc,zpd->zcd", t_rg, t_lb,
+                   preferred_element_type=jnp.float32)       # (Z, c, d)
+
+    # separable Gaussian blur as three flat matmuls (Kronecker bands)
+    S = _kron_band(ny, nx, 1.0)                              # (Z, Z)
+    Brg = _kron_band(nc, nc, color_step)                     # (c, c)
+    BLb = jnp.asarray(np.kron(np.eye(L, dtype=np.float32),
+                              _band_matrix_np(nc, color_step)))  # (d, d)
+    G = jnp.einsum("zcd,zZ->Zcd", G, S)
+    G = jnp.einsum("zcd,cC->zCd", G, Brg)
+    G = jnp.einsum("zcd,dD->zcD", G, BLb).astype(bf)
+
+    # slice: transpose contraction, then fold in the b factor
+    t1 = jnp.einsum("zpc,zcd->zpd", t_rg, G,
+                    preferred_element_type=jnp.float32)      # (Z, P, L*nc)
+    t1 = t1 * jnp.tile(ab, (1, 1, L))
+    out = t1.reshape(ny * nx, P, L, nc).sum(axis=-1)         # (Z, P, L)
+    out = (out.reshape(ny, nx, cs, cs, L).transpose(0, 2, 1, 3, 4)
+           .reshape(ny * cs, nx * cs, L))[:h, :w]
+    return out.reshape(h * w, L)
 
 
-def bilateral_self_weight(im: jnp.ndarray, sxy: float, srgb: float
-                          ) -> jnp.ndarray:
-    """Closed-form per-pixel self-weight of the splat/blur/slice kernel:
-    w_self(i) = prod_d [ (s0^2 + s1^2) B(0) + 2 s0 s1 B(1) ] with
-    s0 = 1-frac_d, s1 = frac_d and B the per-axis blur taps."""
-    coords = _bilateral_coords(im, sxy, srgb)
+_BAND_NP_CACHE = {}
+
+
+def _band_matrix_np(n: int, step: float = 1.0) -> np.ndarray:
+    """(n, n) banded Gaussian blur matrix with grid step ``step`` sigmas."""
+    key = (n, step)
+    if key not in _BAND_NP_CACHE:
+        taps = _blur_taps(step)
+        radius = len(taps) // 2
+        m = np.zeros((n, n), np.float32)
+        for offset, wgt in zip(range(-radius, radius + 1), taps):
+            diag = np.arange(max(0, -offset), min(n, n - offset))
+            m[diag, diag + offset] = wgt
+        _BAND_NP_CACHE[key] = m
+    return _BAND_NP_CACHE[key]
+
+
+def _kron_band(n1: int, n2: int, step: float = 1.0) -> jnp.ndarray:
+    return jnp.asarray(np.kron(_band_matrix_np(n1, step),
+                               _band_matrix_np(n2, step)))
+
+
+def bilateral_self_weight(im: jnp.ndarray, sxy: float, srgb: float,
+                          color_step: float = 1.0) -> jnp.ndarray:
+    """Closed-form per-pixel self-weight of the box-cell splat/blur/slice
+    kernel: spatial part contributes B(0)^2 == 1 (same cell, center blur
+    tap); each color dim contributes (s0^2+s1^2) B(0) + 2 s0 s1 B(1)."""
+    coords = (im.astype(jnp.float32) / (srgb * color_step)).reshape(-1, 3)
     frac = coords - jnp.floor(coords)
     s0, s1 = 1.0 - frac, frac
-    b0, b1 = float(_BLUR_TAPS[2]), float(_BLUR_TAPS[1])
+    taps = _blur_taps(color_step)
+    b0, b1 = float(taps[len(taps) // 2]), float(taps[len(taps) // 2 + 1])
     per_dim = (s0 ** 2 + s1 ** 2) * b0 + 2.0 * s0 * s1 * b1
     return jnp.prod(per_dim, axis=1)  # (N,)
 
 
-def bilateral_norm(im: jnp.ndarray, sxy: float, srgb: float):
+def bilateral_norm(im: jnp.ndarray, sxy: float, srgb: float,
+                   color_step: float = 1.0):
     """Constant-per-image normalization terms, hoisted out of the iteration
     loop: (norm, w_self) with norm = 1/sqrt(K 1 - w_self)."""
     n = im.shape[0] * im.shape[1]
-    w_self = bilateral_self_weight(im, sxy, srgb)[:, None]
+    w_self = bilateral_self_weight(im, sxy, srgb, color_step)[:, None]
     ones = jnp.ones((n, 1), jnp.float32)
-    ksum = bilateral_filter(im, ones, sxy, srgb) - w_self
+    ksum = bilateral_filter(im, ones, sxy, srgb, color_step) - w_self
     norm = jax.lax.rsqrt(jnp.maximum(ksum, 1e-20))
     return norm, w_self
 
 
 def bilateral_message(im: jnp.ndarray, Q: jnp.ndarray, sxy: float,
-                      srgb: float, norm=None, w_self=None) -> jnp.ndarray:
+                      srgb: float, norm=None, w_self=None,
+                      color_step: float = 1.0) -> jnp.ndarray:
     """Normalized bilateral message with self excluded. Q: (N, L)."""
     if norm is None:
-        norm, w_self = bilateral_norm(im, sxy, srgb)
+        norm, w_self = bilateral_norm(im, sxy, srgb, color_step)
     nq = Q * norm
-    filt = bilateral_filter(im, nq, sxy, srgb) - w_self * nq
+    filt = bilateral_filter(im, nq, sxy, srgb, color_step) - w_self * nq
     return filt * norm
 
 
@@ -242,14 +280,16 @@ def mean_field(im: jnp.ndarray, unary: jnp.ndarray, cfg: CrfConfig,
     """im: (H, W, 3) 0-255; unary: (N, L) energies.  Returns Q (N, L)."""
     h, w, _ = im.shape
     g_norm = gaussian_norm((h, w), cfg.sxy_gaussian)
-    b_norm, b_self = bilateral_norm(im, cfg.sxy_bilateral, cfg.srgb)
+    b_norm, b_self = bilateral_norm(im, cfg.sxy_bilateral, cfg.srgb,
+                                    cfg.color_step)
 
     def body(Q, _):
         q_img = Q.reshape(h, w, n_labels)
         msg_g = gaussian_message(q_img, cfg.sxy_gaussian,
                                  norm=g_norm).reshape(-1, n_labels)
         msg_b = bilateral_message(im, Q, cfg.sxy_bilateral, cfg.srgb,
-                                  norm=b_norm, w_self=b_self)
+                                  norm=b_norm, w_self=b_self,
+                                  color_step=cfg.color_step)
         logits = -unary + cfg.compat_gaussian * msg_g \
             + cfg.compat_bilateral * msg_b
         return jax.nn.softmax(logits, axis=-1), None

@@ -98,6 +98,16 @@ def test_do_crf_zero_unsure_matches_oracle():
     assert np.mean(out[5:8, 5:8] == oracle[5:8, 5:8]) > 0.8
 
 
+def test_coarse_color_grid_still_matches_oracle():
+    """color_step=2 (the throughput config) must stay close to the exact
+    oracle on label maps."""
+    im, mask = _toy_scene(seed=5)
+    ours = do_crf(im, mask, zero_unsure=False, cfg=CrfConfig(color_step=2.0))
+    oracle = exact_crf_map(im, mask, zero_unsure=False)
+    agree = np.mean(ours == oracle)
+    assert agree > 0.95, f"only {agree:.3f} agreement at color_step=2"
+
+
 def test_mean_field_batched_shapes():
     im, mask = _toy_scene()
     imgs = jnp.asarray(np.stack([im, im]))
