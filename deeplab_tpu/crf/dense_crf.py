@@ -41,6 +41,10 @@ class CrfConfig:
     # (accurate), 2.0 = half the bins per channel (~7x fewer grid FLOPs,
     # slightly coarser kernel quadrature).
     color_step: float = 1.0
+    # Splat from every s-th pixel per axis (x s^2 weight): the grid is a
+    # kernel-density estimate, so subsampling the splat side barely moves a
+    # sxy=80/srgb=13 kernel while cutting the worst-shaped matmul s^2-fold.
+    splat_stride: int = 1
 
 
 def unary_from_labels(labels: jnp.ndarray, n_labels: int, gt_prob: float,
@@ -144,6 +148,103 @@ def _pad_to_cells(x: jnp.ndarray, cs: int):
     return x, (h + ph) // cs, (w + pw) // cs
 
 
+class _BilateralPlan:
+    """V-independent precomputation for one image: cell geometry, the joint
+    (r,g) factor, the b factor, blur matrices.  Built once per image and
+    reused by all 6 filter applications of a mean-field run (the factors are
+    the expensive pixel-space tensors)."""
+
+    def __init__(self, im, sxy: float, srgb: float, color_step: float,
+                 splat_stride: int = 1):
+        self.stride = splat_stride
+        h, w, _ = im.shape
+        self.h, self.w = h, w
+        self.cs = cs = max(int(round(sxy)), 1)
+        srgb_grid = srgb * color_step
+        self.nc = nc = int(math.floor(255.0 / srgb_grid)) + 2
+        self.color_step = color_step
+        im_pad, self.ny, self.nx = _pad_to_cells(im, cs)
+        self.P = P = cs * cs
+        self.Z = self.ny * self.nx
+
+        im_cells = self.cells_of(im_pad.astype(jnp.float32), 3)  # (Z, P, 3)
+        coords = im_cells / srgb_grid
+        base = jnp.floor(coords)
+        frac = coords - base
+        base = base.astype(jnp.int32)
+        bins = jnp.arange(nc, dtype=jnp.int32)
+        fac = (base[..., None] == bins) * (1.0 - frac[..., None]) \
+            + ((base + 1)[..., None] == bins) * frac[..., None]  # (Z,P,3,nc)
+        ar, ag, ab = fac[:, :, 0], fac[:, :, 1], fac[:, :, 2]
+
+        # All big tensors live in FLAT (Z, P, nc*nc) layouts — nc-sized minor
+        # dims would be tile-padded ~6x on TPU and force relayouts.
+        bf = jnp.bfloat16
+        self.t_rg = (jnp.repeat(ar, nc, axis=-1)
+                     * jnp.tile(ag, (1, 1, nc))).astype(bf)   # c = r*nc+g
+        self.ab = ab                                          # (Z, P, nc)
+        s = self.stride
+        if s > 1:
+            self.t_rg_sub = self.subsample(self.t_rg, nc * nc)
+            self.ab_sub = self.subsample(ab, nc)
+        else:
+            self.t_rg_sub, self.ab_sub = self.t_rg, ab
+        self.S = _kron_band(self.ny, self.nx, 1.0)            # (Z, Z)
+        self.Brg = _kron_band(nc, nc, color_step)             # (c, c)
+
+    def subsample(self, x, ch):
+        """(Z, P, ch) -> (Z, P/stride^2, ch): every stride-th pixel per axis
+        within each cell."""
+        s, cs, Z = self.stride, self.cs, self.Z
+        x = x.reshape(Z, cs, cs, ch)[:, ::s, ::s]
+        return x.reshape(Z, (cs // s) ** 2, ch)
+
+    def cells_of(self, x, ch):
+        return (x.reshape(self.ny, self.cs, self.nx, self.cs, ch)
+                .transpose(0, 2, 1, 3, 4).reshape(self.ny * self.nx,
+                                                  self.cs * self.cs, ch))
+
+    def uncells(self, x, ch):
+        ny, nx, cs = self.ny, self.nx, self.cs
+        return (x.reshape(ny, nx, cs, cs, ch).transpose(0, 2, 1, 3, 4)
+                .reshape(ny * cs, nx * cs, ch))[:self.h, :self.w]
+
+    def apply(self, values: jnp.ndarray) -> jnp.ndarray:
+        """values: (N, L) -> filtered (N, L).  Self-contribution INCLUDED."""
+        L = values.shape[1]
+        nc, Z, P = self.nc, self.Z, self.P
+        bf = jnp.bfloat16
+        v_img, _, _ = _pad_to_cells(values.reshape(self.h, self.w, L), self.cs)
+        V = self.cells_of(v_img, L)                          # (Z, P, L)
+        ab_tile = jnp.tile(self.ab, (1, 1, L))
+        if self.stride > 1:
+            V_sub = self.subsample(V, L)
+            t_lb_sub = (jnp.repeat(V_sub, nc, axis=-1)
+                        * jnp.tile(self.ab_sub, (1, 1, L))).astype(bf)
+        else:
+            t_lb_sub = (jnp.repeat(V, nc, axis=-1) * ab_tile).astype(bf)
+
+        # splat: one batched MXU matmul (c x P) @ (P x d) per cell
+        G = jnp.einsum("zpc,zpd->zcd", self.t_rg_sub, t_lb_sub,
+                       preferred_element_type=jnp.float32)   # (Z, c, d)
+        if self.stride > 1:
+            G = G * float(self.stride ** 2)
+
+        # separable Gaussian blur as three flat matmuls (Kronecker bands)
+        BLb = jnp.asarray(np.kron(np.eye(L, dtype=np.float32),
+                                  _band_matrix_np(nc, self.color_step)))
+        G = jnp.einsum("zcd,zZ->Zcd", G, self.S)
+        G = jnp.einsum("zcd,cC->zCd", G, self.Brg)
+        G = jnp.einsum("zcd,dD->zcD", G, BLb).astype(bf)
+
+        # slice: transpose contraction, then fold in the b factor
+        t1 = jnp.einsum("zpc,zcd->zpd", self.t_rg, G,
+                        preferred_element_type=jnp.float32)  # (Z, P, L*nc)
+        t1 = t1 * ab_tile
+        out = t1.reshape(Z, P, L, nc).sum(axis=-1)           # (Z, P, L)
+        return self.uncells(out, L).reshape(self.h * self.w, L)
+
+
 def bilateral_filter(im: jnp.ndarray, values: jnp.ndarray, sxy: float,
                      srgb: float, color_step: float = 1.0) -> jnp.ndarray:
     """Approximate K @ values for the bilateral kernel.
@@ -152,65 +253,17 @@ def bilateral_filter(im: jnp.ndarray, values: jnp.ndarray, sxy: float,
     - spatial: box cells of ``round(sxy)`` px — pixel->cell assignment is a
       pure reshape; cell-to-cell Gaussian blur finishes the spatial kernel
     - color: per-channel multilinear factors contracted on the MXU
-      (splat: (rg,P)x(P,b*L) per cell; slice: the transpose)
+      (splat: (rg x P)@(P x lb) per cell; slice: the transpose)
     im: (H, W, 3); values: (N, L).  Self-contribution is INCLUDED
     (see ``bilateral_self_weight``).
     """
-    h, w, _ = im.shape
-    cs = max(int(round(sxy)), 1)
-    srgb_grid = srgb * color_step
-    nc = int(math.floor(255.0 / srgb_grid)) + 2
-    L = values.shape[1]
+    return _BilateralPlan(im, sxy, srgb, color_step).apply(values)
 
-    v_img, ny, nx = _pad_to_cells(values.reshape(h, w, L), cs)
-    im_pad, _, _ = _pad_to_cells(im, cs)
-    P = cs * cs
 
-    def cells_of(x, ch):
-        return (x.reshape(ny, cs, nx, cs, ch).transpose(0, 2, 1, 3, 4)
-                .reshape(ny * nx, P, ch))
-
-    V = cells_of(v_img, L)                                   # (Z, P, L)
-    im_cells = cells_of(im_pad.astype(jnp.float32), 3)       # (Z, P, 3)
-    coords = im_cells / srgb_grid
-    base = jnp.floor(coords)
-    frac = coords - base
-    base = base.astype(jnp.int32)
-    bins = jnp.arange(nc, dtype=jnp.int32)
-    # per-channel multilinear factors, built directly in cell layout
-    fac = (base[..., None] == bins) * (1.0 - frac[..., None]) \
-        + ((base + 1)[..., None] == bins) * frac[..., None]  # (Z,P,3,nc)
-    ar, ag, ab = fac[:, :, 0], fac[:, :, 1], fac[:, :, 2]    # (Z,P,nc)
-
-    # All big tensors live in FLAT (Z, P, nc*nc) layouts — nc-sized minor
-    # dims would be tile-padded ~6x on TPU and force relayouts.
-    bf = jnp.bfloat16
-    t_rg = (jnp.repeat(ar, nc, axis=-1)
-            * jnp.tile(ag, (1, 1, nc))).astype(bf)           # c = r*nc+g
-    t_lb = (jnp.repeat(V, nc, axis=-1)
-            * jnp.tile(ab, (1, 1, L))).astype(bf)            # d = l*nc+b
-
-    # splat: one batched MXU matmul (c x P) @ (P x d) per cell
-    G = jnp.einsum("zpc,zpd->zcd", t_rg, t_lb,
-                   preferred_element_type=jnp.float32)       # (Z, c, d)
-
-    # separable Gaussian blur as three flat matmuls (Kronecker bands)
-    S = _kron_band(ny, nx, 1.0)                              # (Z, Z)
-    Brg = _kron_band(nc, nc, color_step)                     # (c, c)
-    BLb = jnp.asarray(np.kron(np.eye(L, dtype=np.float32),
-                              _band_matrix_np(nc, color_step)))  # (d, d)
-    G = jnp.einsum("zcd,zZ->Zcd", G, S)
-    G = jnp.einsum("zcd,cC->zCd", G, Brg)
-    G = jnp.einsum("zcd,dD->zcD", G, BLb).astype(bf)
-
-    # slice: transpose contraction, then fold in the b factor
-    t1 = jnp.einsum("zpc,zcd->zpd", t_rg, G,
-                    preferred_element_type=jnp.float32)      # (Z, P, L*nc)
-    t1 = t1 * jnp.tile(ab, (1, 1, L))
-    out = t1.reshape(ny * nx, P, L, nc).sum(axis=-1)         # (Z, P, L)
-    out = (out.reshape(ny, nx, cs, cs, L).transpose(0, 2, 1, 3, 4)
-           .reshape(ny * cs, nx * cs, L))[:h, :w]
-    return out.reshape(h * w, L)
+def bilateral_filter_strided(im, values, sxy, srgb, color_step=1.0,
+                             splat_stride=1):
+    return _BilateralPlan(im, sxy, srgb, color_step,
+                          splat_stride).apply(values)
 
 
 _BAND_NP_CACHE = {}
@@ -280,16 +333,22 @@ def mean_field(im: jnp.ndarray, unary: jnp.ndarray, cfg: CrfConfig,
     """im: (H, W, 3) 0-255; unary: (N, L) energies.  Returns Q (N, L)."""
     h, w, _ = im.shape
     g_norm = gaussian_norm((h, w), cfg.sxy_gaussian)
-    b_norm, b_self = bilateral_norm(im, cfg.sxy_bilateral, cfg.srgb,
-                                    cfg.color_step)
+    # One bilateral plan per image: the pixel-space factor tensors are
+    # V-independent and shared by the norm pass + all 5 iterations.
+    plan = _BilateralPlan(im, cfg.sxy_bilateral, cfg.srgb, cfg.color_step,
+                          cfg.splat_stride)
+    b_self = bilateral_self_weight(im, cfg.sxy_bilateral, cfg.srgb,
+                                   cfg.color_step)[:, None]
+    ones = jnp.ones((h * w, 1), jnp.float32)
+    ksum = plan.apply(ones) - b_self
+    b_norm = jax.lax.rsqrt(jnp.maximum(ksum, 1e-20))
 
     def body(Q, _):
         q_img = Q.reshape(h, w, n_labels)
         msg_g = gaussian_message(q_img, cfg.sxy_gaussian,
                                  norm=g_norm).reshape(-1, n_labels)
-        msg_b = bilateral_message(im, Q, cfg.sxy_bilateral, cfg.srgb,
-                                  norm=b_norm, w_self=b_self,
-                                  color_step=cfg.color_step)
+        nq = Q * b_norm
+        msg_b = (plan.apply(nq) - b_self * nq) * b_norm
         logits = -unary + cfg.compat_gaussian * msg_g \
             + cfg.compat_bilateral * msg_b
         return jax.nn.softmax(logits, axis=-1), None

@@ -108,6 +108,17 @@ def test_coarse_color_grid_still_matches_oracle():
     assert agree > 0.95, f"only {agree:.3f} agreement at color_step=2"
 
 
+def test_fast_config_still_matches_oracle():
+    """The full throughput config (coarse color grid + strided splat) must
+    stay close to the exact oracle."""
+    im, mask = _toy_scene(seed=6)
+    ours = do_crf(im, mask, zero_unsure=False,
+                  cfg=CrfConfig(color_step=2.0, splat_stride=2))
+    oracle = exact_crf_map(im, mask, zero_unsure=False)
+    agree = np.mean(ours == oracle)
+    assert agree > 0.94, f"only {agree:.3f} agreement in fast config"
+
+
 def test_mean_field_batched_shapes():
     im, mask = _toy_scene()
     imgs = jnp.asarray(np.stack([im, im]))
