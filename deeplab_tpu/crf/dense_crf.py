@@ -381,10 +381,13 @@ def mean_field_batched(imgs: jnp.ndarray, masks: jnp.ndarray,
     """Batched on-device CRF over hard masks (no label compression — all
     n_labels classes).  imgs: (B, H, W, 3); masks: (B, H, W) int.
     Returns refined masks (B, H, W)."""
-    def one(im, mask):
+    def one(args):
+        im, mask = args
         U = unary_from_labels(mask.reshape(-1), n_labels, cfg.gt_prob,
                               zero_unsure=False)
         Q = mean_field(im, U, cfg, n_labels)
         return jnp.argmax(Q, axis=-1).reshape(mask.shape)
 
-    return jax.vmap(one)(imgs.astype(jnp.float32), masks)
+    # sequential chunks: the per-image pixel-space intermediates are large
+    # (hundreds of MB); full vmap would multiply them by the batch size.
+    return jax.lax.map(one, (imgs.astype(jnp.float32), masks), batch_size=2)

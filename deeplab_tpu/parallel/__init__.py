@@ -1,2 +1,3 @@
 from deeplab_tpu.parallel.mesh import (get_mesh, data_sharding,
-                                       replicated_sharding, shard_batch)
+                                       replicated_sharding, shard_batch,
+                                       get_available_devices)

@@ -47,3 +47,10 @@ def shard_batch(mesh: Mesh, batch):
     """Device-put a host batch with the data-parallel layout."""
     sh = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def get_available_devices(kind: str = "tpu"):
+    """Reference utils.py:94-96 analogue: list accelerator devices."""
+    import jax
+    return [d for d in jax.devices() if kind in d.platform.lower()
+            or kind == "all"]
