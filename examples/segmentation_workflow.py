@@ -72,6 +72,8 @@ def main():
 
     # ---- cell 5: callbacks + fine-tune ----
     os.makedirs(args.out_dir, exist_ok=True)
+    SegClass.modelpath = os.path.join(args.out_dir,
+                                      f"{args.backbone}_{net}.h5")
     monitor = "val_Jaccard"
     callbacks = [
         ModelCheckpoint(SegClass.modelpath, monitor=monitor, mode="max",
@@ -90,7 +92,11 @@ def main():
     print("final:", {k: round(v[-1], 4) for k, v in history.items() if v})
 
     # ---- cells 7-9: reload best checkpoint, compare +/- CRF ----
-    SegClass.load_weights(model)
+    if os.path.exists(SegClass.modelpath):
+        SegClass.load_weights(model)
+    else:
+        print("note: no best checkpoint written (validation too small?); "
+              "using final weights")
     i = np.random.randint(0, max(len(valid_generator), 1))
     x, y, _ = valid_generator[i]
     probs, _ = model.apply(SegClass.params, SegClass.state, x)

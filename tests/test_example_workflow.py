@@ -1,0 +1,51 @@
+"""Integration: the notebook-equivalent example runs end-to-end on a
+synthetic dataset (tiny sizes; the full workflow incl. CRF compare + eval)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def voc_dir(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp("voc_ex")
+    (root / "JPEGImages" / "train").mkdir(parents=True)
+    (root / "SegmentationClassAug").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(30):
+        img = np.zeros((48, 48, 3), np.uint8)
+        img[:] = (40, 90, 160)
+        cy, cx, r = rng.randint(12, 36), rng.randint(12, 36), rng.randint(6, 12)
+        yy, xx = np.mgrid[:48, :48]
+        m = (yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2
+        img[m] = (220, 60, 50)
+        Image.fromarray(img).save(
+            root / "JPEGImages" / "train" / f"im{i:02d}.jpg", quality=95)
+        Image.fromarray(m.astype(np.uint8), mode="L").save(
+            root / "SegmentationClassAug" / f"im{i:02d}.png")
+    return str(root)
+
+
+def test_example_workflow_runs(voc_dir, tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples",
+                                      "segmentation_workflow.py"),
+         "--dataset", voc_dir, "--image-size", "32", "32",
+         "--batch-size", "4", "--epochs", "2",
+         "--out-dir", str(tmp_path / "w")],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = proc.stdout
+    assert "sample mIOU (no CRF):" in out
+    assert "sample mIOU (+CRF):" in out
+    assert 'Published-metric "Mean IOU"' in out
