@@ -88,6 +88,48 @@ class ReduceLROnPlateau(Callback):
             self.wait = 0
 
 
+class JSONLLogger(Callback):
+    """Append one JSON object per epoch to a logfile (the framework's
+    observability channel; reference used TensorBoard, notebook cell 5)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def on_epoch_end(self, epoch: int, logs: dict):
+        import json
+        import os
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"epoch": epoch,
+                                "lr": self.trainer.current_lr(), **logs})
+                    + "\n")
+
+
+class TensorBoard(Callback):
+    """Optional TensorBoard scalars via tf.summary (reference notebook
+    cell 5: TensorBoard(log_dir='./logs/'+net)).  No-op if TF is absent."""
+
+    def __init__(self, log_dir: str = "./logs"):
+        self.log_dir = log_dir
+        self._writer = None
+
+    def _get_writer(self):
+        if self._writer is None:
+            import tensorflow as tf
+            self._writer = tf.summary.create_file_writer(self.log_dir)
+        return self._writer
+
+    def on_epoch_end(self, epoch: int, logs: dict):
+        try:
+            import tensorflow as tf
+        except ImportError:
+            return
+        with self._get_writer().as_default():
+            for k, v in logs.items():
+                tf.summary.scalar(k, float(v), step=epoch)
+            tf.summary.scalar("lr", self.trainer.current_lr(), step=epoch)
+
+
 class EarlyStopping(Callback):
     """notebook cell 5: patience=100 on val_Jaccard (mode max)."""
 

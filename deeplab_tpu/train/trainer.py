@@ -214,10 +214,24 @@ class Trainer:
     # ------------------------------------------------------------ predict ----
 
     def predict(self, params, state, X, batch_size: int = 16):
+        """Batched inference, sharded over the mesh 'data' axis when the
+        batch divides it (multi-chip serving path)."""
         outs = []
         n = len(X)
-        fwd = jax.jit(lambda p, s, x: self.model.apply(p, s, x)[0])
+        n_data = self.mesh.shape["data"]
+        repl = replicated_sharding(self.mesh)
+        data_sh = data_sharding(self.mesh)
+        fwd = jax.jit(lambda p, s, x: self.model.apply(p, s, x)[0],
+                      in_shardings=(repl, repl, data_sh),
+                      out_shardings=data_sh)
+        fwd_single = jax.jit(lambda p, s, x: self.model.apply(p, s, x)[0])
+        params = jax.device_put(params, repl)
+        state = jax.device_put(state, repl)
         for i in range(0, n, batch_size):
             xb = jnp.asarray(X[i:i + batch_size])
-            outs.append(np.asarray(fwd(params, state, xb)))
+            if xb.shape[0] % n_data == 0:
+                xb = jax.device_put(xb, data_sh)
+                outs.append(np.asarray(fwd(params, state, xb)))
+            else:
+                outs.append(np.asarray(fwd_single(params, state, xb)))
         return np.concatenate(outs, axis=0)
