@@ -189,8 +189,23 @@ class _BilateralPlan:
             self.ab_sub = self.subsample(ab, nc)
         else:
             self.t_rg_sub, self.ab_sub = self.t_rg, ab
+        self._ab_tile_cache = {}
         self.S = _kron_band(self.ny, self.nx, 1.0)            # (Z, Z)
         self.Brg = _kron_band(nc, nc, color_step)             # (c, c)
+
+    def ab_tile(self, L: int):
+        if L not in self._ab_tile_cache:
+            self._ab_tile_cache[L] = jnp.tile(self.ab, (1, 1, L)).astype(
+                jnp.bfloat16)
+        return self._ab_tile_cache[L]
+
+    def fold_matrix(self, L: int):
+        """(d, L) b-summing matrix: out[l] = sum_b t[(l,b)]."""
+        nc = self.nc
+        red = np.zeros((L * nc, L), np.float32)
+        for d in range(L * nc):
+            red[d, d // nc] = 1.0
+        return jnp.asarray(red)
 
     def subsample(self, x, ch):
         """(Z, P, ch) -> (Z, P/stride^2, ch): every stride-th pixel per axis
@@ -216,13 +231,13 @@ class _BilateralPlan:
         bf = jnp.bfloat16
         v_img, _, _ = _pad_to_cells(values.reshape(self.h, self.w, L), self.cs)
         V = self.cells_of(v_img, L)                          # (Z, P, L)
-        ab_tile = jnp.tile(self.ab, (1, 1, L))
+        ab_tile = self.ab_tile(L)
         if self.stride > 1:
             V_sub = self.subsample(V, L)
             t_lb_sub = (jnp.repeat(V_sub, nc, axis=-1)
                         * jnp.tile(self.ab_sub, (1, 1, L))).astype(bf)
         else:
-            t_lb_sub = (jnp.repeat(V, nc, axis=-1) * ab_tile).astype(bf)
+            t_lb_sub = jnp.repeat(V, nc, axis=-1).astype(bf) * ab_tile
 
         # splat: one batched MXU matmul (c x P) @ (P x d) per cell
         G = jnp.einsum("zpc,zpd->zcd", self.t_rg_sub, t_lb_sub,
@@ -237,11 +252,12 @@ class _BilateralPlan:
         G = jnp.einsum("zcd,cC->zCd", G, self.Brg)
         G = jnp.einsum("zcd,dD->zcD", G, BLb).astype(bf)
 
-        # slice: transpose contraction, then fold in the b factor
+        # slice: transpose contraction (bf16), then fold in the b factor
         t1 = jnp.einsum("zpc,zcd->zpd", self.t_rg, G,
-                        preferred_element_type=jnp.float32)  # (Z, P, L*nc)
+                        preferred_element_type=jnp.bfloat16)  # (Z, P, L*nc)
         t1 = t1 * ab_tile
-        out = t1.reshape(Z, P, L, nc).sum(axis=-1)           # (Z, P, L)
+        out = t1.reshape(Z, P, L, nc).sum(axis=-1,
+                                          dtype=jnp.float32)  # (Z, P, L)
         return self.uncells(out, L).reshape(self.h * self.w, L)
 
 
