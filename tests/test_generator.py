@@ -107,6 +107,36 @@ def test_generator_host_sharding(voc_dir):
     assert len(set(all_paths)) == 9
 
 
+def test_generator_test_mode(voc_dir):
+    """mode='test' pulls the first 100 of JPEGImages/test (utils.py:278-279)."""
+    import shutil
+    test_dir = os.path.join(voc_dir, "JPEGImages", "test")
+    os.makedirs(test_dir, exist_ok=True)
+    src_dir = os.path.join(voc_dir, "JPEGImages", "train")
+    for i, f in enumerate(sorted(os.listdir(src_dir))[:5]):
+        shutil.copy(os.path.join(src_dir, f), os.path.join(test_dir, f))
+    gen = SegmentationGenerator(folder=voc_dir, mode="test", batch_size=1,
+                                resize_shape=(16, 16), crop_shape=None,
+                                do_ahisteq=False)
+    assert len(gen.image_path_list) == 5
+    assert all("JPEGImages/test" in p or "JPEGImages\\test" in p
+               for p in gen.image_path_list)
+
+
+def test_array_batcher():
+    """In-memory training path (SegModel.train, utils.py:243-247)."""
+    from deeplab_tpu.data.generator import ArrayBatcher
+    rng = np.random.RandomState(0)
+    X = rng.rand(6, 8, 8, 3).astype(np.float32)
+    Y = rng.randint(0, 4, (6, 64)).astype(np.float32)
+    b = ArrayBatcher(X, Y, batch_size=2, n_classes=4)
+    assert len(b) == 3
+    xb, yb, swd = b[1]
+    assert xb.shape == (2, 8, 8, 3) and yb.shape == (2, 64, 1)
+    assert swd["pred_mask"].shape == (2, 64)
+    assert np.all(swd["pred_mask"] >= 0)
+
+
 def test_random_crop_semantics():
     import random
     random.seed(0)
