@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 32
+BATCH = 8
 WARMUP = 3
 ITERS = 20
 BASELINE_PER_CHIP = 2000.0 / 8.0  # v5e-8 target split per chip
