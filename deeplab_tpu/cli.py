@@ -68,9 +68,18 @@ def cmd_train(args):
                           patience=t.reduce_lr_patience, min_lr=t.min_lr),
         EarlyStopping(monitor=t.monitor, patience=t.early_stop_patience),
     ]
+    # Freeze only when actually fine-tuning pretrained weights (notebook
+    # cell 5 guards on load_pretrained_weights) — freezing a random trunk
+    # would train the head against noise.
+    have_weights = bool(args.weights) or (args.resume_weights
+                                          and os.path.exists(seg.modelpath))
+    freeze = t.freeze_before if (args.finetune and have_weights) else None
+    if args.finetune and not have_weights:
+        print("note: no pretrained weights loaded; training full network "
+              "(freeze policy skipped)")
     trainer = Trainer(net, epochs=t.epochs, callbacks=callbacks, lr=t.lr,
                       epsilon=t.epsilon, decay=t.decay,
-                      freeze_before=t.freeze_before if args.finetune else None,
+                      freeze_before=freeze,
                       spatial=t.spatial, seed=t.seed)
     history = trainer.fit(seg.params, seg.state, train_gen, valid_gen,
                           state_checkpoint=t.state_checkpoint,
@@ -85,10 +94,15 @@ def cmd_evaluate(args):
     cfg = Config.load(args.config) if args.config else __default_cfg()
     seg, net = _build(cfg, weights=args.weights)
     seg.set_batch_size(1)
+    # default to the TRAINING split fraction so evaluation never overlaps
+    # the train set (the reference notebook cell 10 hardcodes 0.05, which
+    # can overlap when training used a different split — pass --eval-split
+    # 0.05 to reproduce its published numbers verbatim).
+    split = args.eval_split if args.eval_split else cfg.data.validation_split
     gen = seg.create_generators(
         crop_shape=None, mode="validation", n_classes=cfg.model.n_classes,
         horizontal_flip=False, vertical_flip=False, brightness=0.0,
-        rotation=0.0, zoom=0.0, validation_split=0.05, seed=cfg.data.seed,
+        rotation=0.0, zoom=0.0, validation_split=split, seed=cfg.data.seed,
         do_ahisteq=False)
     conf, iou, mean_iou = calculate_iou(net, seg.params, seg.state, gen,
                                         nb_classes=cfg.model.n_classes)
@@ -152,6 +166,9 @@ def main(argv=None):
     pe = sub.add_parser("evaluate", help="dataset confusion-matrix IoU")
     pe.add_argument("--config")
     pe.add_argument("--weights")
+    pe.add_argument("--eval-split", type=float, default=None,
+                    help="validation fraction (default: config's "
+                         "validation_split; reference notebook used 0.05)")
     pe.set_defaults(fn=cmd_evaluate)
 
     pp = sub.add_parser("predict", help="predict masks for images")

@@ -107,12 +107,5 @@ def apply_model(model_fn: Callable, params: Params, state: State, *inputs,
     return out, state
 
 
-def merge_params(params: Params, updates: Params) -> Params:
-    out = {k: dict(v) for k, v in params.items()}
-    for layer, vars_ in updates.items():
-        out.setdefault(layer, {}).update(vars_)
-    return out
-
-
 def param_count(params: Params) -> int:
     return sum(int(x.size) for lp in params.values() for x in lp.values())

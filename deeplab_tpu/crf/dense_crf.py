@@ -125,20 +125,6 @@ def _blur_taps(step: float = 1.0) -> np.ndarray:
     return np.exp(-0.5 * (d * step) ** 2).astype(np.float32)
 
 
-def _color_factors(im: jnp.ndarray, srgb: float, nc: int):
-    """Per-channel multilinear grid weights: (H*W, 3, nc) dense factors with
-    two nonzeros per row.  Dense-small is deliberate: they feed MXU matmuls
-    instead of scatters."""
-    coords = im.astype(jnp.float32) / srgb                  # (H, W, 3)
-    base = jnp.floor(coords)
-    frac = (coords - base).reshape(-1, 3)
-    base = base.reshape(-1, 3).astype(jnp.int32)
-    bins = jnp.arange(nc, dtype=jnp.int32)                  # (nc,)
-    a = (base[..., None] == bins) * (1.0 - frac[..., None]) \
-        + ((base + 1)[..., None] == bins) * frac[..., None]
-    return a                                                 # (N, 3, nc)
-
-
 def _pad_to_cells(x: jnp.ndarray, cs: int):
     h, w = x.shape[:2]
     ph, pw = (-h) % cs, (-w) % cs
@@ -198,14 +184,6 @@ class _BilateralPlan:
             self._ab_tile_cache[L] = jnp.tile(self.ab, (1, 1, L)).astype(
                 jnp.bfloat16)
         return self._ab_tile_cache[L]
-
-    def fold_matrix(self, L: int):
-        """(d, L) b-summing matrix: out[l] = sum_b t[(l,b)]."""
-        nc = self.nc
-        red = np.zeros((L * nc, L), np.float32)
-        for d in range(L * nc):
-            red[d, d // nc] = 1.0
-        return jnp.asarray(red)
 
     def subsample(self, x, ch):
         """(Z, P, ch) -> (Z, P/stride^2, ch): every stride-th pixel per axis
@@ -276,10 +254,6 @@ def bilateral_filter(im: jnp.ndarray, values: jnp.ndarray, sxy: float,
     return _BilateralPlan(im, sxy, srgb, color_step).apply(values)
 
 
-def bilateral_filter_strided(im, values, sxy, srgb, color_step=1.0,
-                             splat_stride=1):
-    return _BilateralPlan(im, sxy, srgb, color_step,
-                          splat_stride).apply(values)
 
 
 _BAND_NP_CACHE = {}

@@ -242,23 +242,49 @@ class ArrayBatcher:
 class Prefetcher:
     """Background-thread prefetch queue over a generator — the TPU-side
     replacement for Keras fit_generator's worker pool (utils.py:231-241).
-    Keeps the host pipeline ahead of the device step."""
+    Keeps the host pipeline ahead of the device step.
+
+    Batches are deep-copied before enqueueing: SegmentationGenerator returns
+    its preallocated buffers, which the producer would otherwise overwrite
+    while queued/consumed (the reference was safe only because its
+    multiprocessing workers pickled — i.e. copied — each batch)."""
 
     def __init__(self, gen, max_queue_size: int = 10):
         self.gen = gen
+        self.max_queue_size = max_queue_size
         self.q: queue.Queue = queue.Queue(maxsize=max_queue_size)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+
+    @staticmethod
+    def _copy_batch(batch):
+        def cp(x):
+            if isinstance(x, dict):
+                return {k: cp(v) for k, v in x.items()}
+            return np.copy(x)
+        return tuple(cp(b) for b in batch)
+
+    def _put(self, item) -> bool:
+        """put that stays responsive to close(); returns False if stopped."""
+        while not self._stop.is_set():
+            try:
+                self.q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _worker(self, indices):
         for i in indices:
             if self._stop.is_set():
                 return
-            self.q.put(self.gen[i])
-        self.q.put(None)
+            if not self._put(self._copy_batch(self.gen[i])):
+                return
+        self._put(None)
 
     def __iter__(self):
         self._stop.clear()
+        self.q = queue.Queue(maxsize=self.max_queue_size)  # fresh per run
         self._thread = threading.Thread(
             target=self._worker, args=(range(len(self.gen)),), daemon=True)
         self._thread.start()

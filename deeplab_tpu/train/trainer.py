@@ -116,9 +116,11 @@ class Trainer:
         # (e.g. bs=2 on 8 chips, the notebook's config), shrink to the
         # largest usable submesh rather than padding — padding would
         # contaminate BN batch statistics.
-        X0, _, _ = train_gen[0]
+        bs = getattr(train_gen, "batch_size", None)
+        if bs is None:  # fall back to materializing one batch
+            X0, _, _ = train_gen[0]
+            bs = X0.shape[0]
         n_data = self.mesh.shape["data"]
-        bs = X0.shape[0]
         if bs % n_data != 0:
             import math
             usable = math.gcd(bs, n_data)
@@ -132,8 +134,11 @@ class Trainer:
         train_jit, eval_jit, tx = self._build_steps(frozen)
 
         repl = replicated_sharding(self.mesh)
-        self.params = jax.device_put(params, repl)
-        self.state = jax.device_put(state, repl)
+        # Copy before donating: on a 1-device mesh device_put is a no-op and
+        # donate_argnums would otherwise delete the CALLER's arrays on the
+        # first step.
+        self.params = jax.device_put(jax.tree.map(jnp.array, params), repl)
+        self.state = jax.device_put(jax.tree.map(jnp.array, state), repl)
         self.opt_state = jax.device_put(tx.init(self.params), repl)
         step = 0
 
@@ -170,11 +175,13 @@ class Trainer:
                 self.params, self.state, self.opt_state, metrics = train_jit(
                     self.params, self.state, self.opt_state,
                     jnp.float32(self.lr_scale), rng, X, Y, SW)
+                # accumulate on device: float() here would host-sync every
+                # step and serialize augmentation with the device step
                 for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                    sums[k] = sums.get(k, 0.0) + v
                 n_batches += 1
                 step += 1
-            logs = {k: v / max(n_batches, 1) for k, v in sums.items()}
+            logs = {k: float(v) / max(n_batches, 1) for k, v in sums.items()}
 
             if valid_gen is not None:
                 vsums, vn = {}, 0
@@ -187,9 +194,9 @@ class Trainer:
                     SW = jax.device_put(jnp.asarray(SW), data_sh)
                     m = eval_jit(self.params, self.state, X, Y, SW)
                     for k, v in m.items():
-                        vsums[k] = vsums.get(k, 0.0) + float(v)
+                        vsums[k] = vsums.get(k, 0.0) + v
                     vn += 1
-                logs.update({f"val_{k}": v / max(vn, 1)
+                logs.update({f"val_{k}": float(v) / max(vn, 1)
                              for k, v in vsums.items()})
 
             for k, v in logs.items():

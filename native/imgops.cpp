@@ -12,6 +12,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <cfenv>
 #include <vector>
 
 extern "C" {
@@ -48,7 +49,7 @@ void resize_bilinear_u8(const uint8_t* src, int h, int w, int c,
                           + r1[x1[j] * c + k] * fx[j];
                 float v = top * (1 - fy) + bot * fy;
                 out[j * c + k] = (uint8_t)std::min(255.f,
-                                                   std::max(0.f, std::round(v)));
+                                                   std::max(0.f, std::nearbyint(v)));
             }
         }
     }
@@ -110,7 +111,7 @@ void warp_affine_u8(const uint8_t* src, int h, int w, int c,
             double sxf = ia * j + ib * i + itx;
             double syf = id * j + ie * i + ity;
             if (nearest) {
-                long jx = std::lround(sxf), iy = std::lround(syf);
+                long jx = (long)std::nearbyint(sxf), iy = (long)std::nearbyint(syf);
                 if (jx < 0 || jx >= w || iy < 0 || iy >= h) {
                     std::memset(out + j * c, 0, c);
                 } else {
@@ -131,7 +132,7 @@ void warp_affine_u8(const uint8_t* src, int h, int w, int c,
                         + sample(y0 + 1, x0) * (1 - fx) * fy
                         + sample(y0 + 1, x0 + 1) * fx * fy;
                 out[j * c + k] = (uint8_t)std::min(255.f,
-                                                   std::max(0.f, std::round(v)));
+                                                   std::max(0.f, std::nearbyint(v)));
             }
         }
     }
@@ -160,6 +161,7 @@ static void gaussian_taps(int ksize, std::vector<float>& k) {
 }
 
 static inline int reflect101(int i, int n) {
+    if (n == 1) return 0;
     while (i < 0 || i >= n) {
         if (i < 0) i = -i;
         if (i >= n) i = 2 * n - 2 - i;
@@ -190,7 +192,7 @@ void gaussian_blur_u8(const uint8_t* src, int h, int w, int c, int ksize,
                     acc += k[t + r] *
                            tmp[((size_t)reflect101(i + t, h) * w + j) * c + ch];
                 dst[((size_t)i * w + j) * c + ch] =
-                    (uint8_t)std::min(255.f, std::max(0.f, std::round(acc)));
+                    (uint8_t)std::min(255.f, std::max(0.f, std::nearbyint(acc)));
             }
 }
 
@@ -202,9 +204,9 @@ void bgr2yuv_u8(const uint8_t* src, int64_t npx, uint8_t* dst) {
         double y = 0.299 * r + 0.587 * g + 0.114 * b;
         double u = 0.492 * (b - y) + 128.0;
         double v = 0.877 * (r - y) + 128.0;
-        dst[i * 3] = (uint8_t)std::min(255.0, std::max(0.0, std::round(y)));
-        dst[i * 3 + 1] = (uint8_t)std::min(255.0, std::max(0.0, std::round(u)));
-        dst[i * 3 + 2] = (uint8_t)std::min(255.0, std::max(0.0, std::round(v)));
+        dst[i * 3] = (uint8_t)std::min(255.0, std::max(0.0, std::nearbyint(y)));
+        dst[i * 3 + 1] = (uint8_t)std::min(255.0, std::max(0.0, std::nearbyint(u)));
+        dst[i * 3 + 2] = (uint8_t)std::min(255.0, std::max(0.0, std::nearbyint(v)));
     }
 }
 
@@ -215,9 +217,9 @@ void yuv2bgr_u8(const uint8_t* src, int64_t npx, uint8_t* dst) {
         double r = y + 1.140 * v;
         double g = y - 0.395 * u - 0.581 * v;
         double b = y + 2.032 * u;
-        dst[i * 3] = (uint8_t)std::min(255.0, std::max(0.0, std::round(b)));
-        dst[i * 3 + 1] = (uint8_t)std::min(255.0, std::max(0.0, std::round(g)));
-        dst[i * 3 + 2] = (uint8_t)std::min(255.0, std::max(0.0, std::round(r)));
+        dst[i * 3] = (uint8_t)std::min(255.0, std::max(0.0, std::nearbyint(b)));
+        dst[i * 3 + 1] = (uint8_t)std::min(255.0, std::max(0.0, std::nearbyint(g)));
+        dst[i * 3 + 2] = (uint8_t)std::min(255.0, std::max(0.0, std::nearbyint(r)));
     }
 }
 
@@ -228,9 +230,9 @@ void clahe_u8(const uint8_t* src, int h, int w, double clip_limit,
     int H = h + ph, W = w + pw;
     std::vector<uint8_t> img((size_t)H * W);
     for (int i = 0; i < H; ++i) {
-        int si = i < h ? i : 2 * h - 2 - i;
+        int si = (h == 1) ? 0 : reflect101(i, h);
         for (int j = 0; j < W; ++j) {
-            int sj = j < w ? j : 2 * w - 2 - j;
+            int sj = (w == 1) ? 0 : reflect101(j, w);
             img[(size_t)i * W + j] = src[(size_t)si * w + sj];
         }
     }
@@ -259,7 +261,7 @@ void clahe_u8(const uint8_t* src, int h, int w, double clip_limit,
             for (int b = 0; b < 256; ++b) {
                 cdf += hist[b];
                 lut[b] = std::min(255.0, std::max(0.0,
-                            std::round(cdf * 255.0 / n_px)));
+                            std::nearbyint(cdf * 255.0 / n_px)));
             }
         }
     // bilinear interpolation between tile LUTs
@@ -280,7 +282,7 @@ void clahe_u8(const uint8_t* src, int h, int w, double clip_limit,
                 luts[((size_t)y1 * tw + x0) * 256 + v] * fy * (1 - fx) +
                 luts[((size_t)y1 * tw + x1) * 256 + v] * fy * fx;
             dst[(size_t)i * w + j] =
-                (uint8_t)std::min(255.0, std::max(0.0, std::round(out)));
+                (uint8_t)std::min(255.0, std::max(0.0, std::nearbyint(out)));
         }
     }
 }

@@ -149,6 +149,44 @@ def test_random_crop_semantics():
     assert ci2.shape == (60, 60, 3) and cl2.shape == (60, 60)
 
 
+def test_prefetcher_batches_are_independent(voc_dir):
+    """Regression: queued batches must be copies, not the generator's shared
+    preallocated buffers (which the producer keeps overwriting)."""
+    gen = SegmentationGenerator(folder=voc_dir, mode="train", batch_size=1,
+                                resize_shape=(16, 16), crop_shape=None,
+                                validation_split=0.25, seed=7,
+                                do_ahisteq=False, brightness=0, rotation=0,
+                                zoom=0, horizontal_flip=False)
+    direct = [np.copy(gen[i][0]) for i in range(len(gen))]
+    import time
+    batches = []
+    for X, Y, _ in Prefetcher(gen, max_queue_size=len(gen)):
+        time.sleep(0.01)  # let the producer run ahead
+        batches.append(X)
+    assert len(batches) == len(gen)
+    for got, want in zip(batches, direct):
+        np.testing.assert_array_equal(got, want)
+    # and they must be distinct arrays, not views of one buffer
+    assert not any(b1 is b2 for i, b1 in enumerate(batches)
+                   for b2 in batches[i + 1:])
+
+
+def test_prefetcher_early_close_no_hang(voc_dir):
+    gen = SegmentationGenerator(folder=voc_dir, mode="train", batch_size=1,
+                                resize_shape=(16, 16), crop_shape=None,
+                                validation_split=0.25, seed=7,
+                                do_ahisteq=False)
+    pf = Prefetcher(gen, max_queue_size=1)
+    it = iter(pf)
+    next(it)          # start the worker, consume one
+    pf.close()        # worker may be blocked in put(); must exit
+    pf._thread.join(timeout=5)
+    assert not pf._thread.is_alive()
+    # a fresh iteration works (fresh queue, no stale sentinel)
+    batches = list(pf)
+    assert len(batches) == len(gen)
+
+
 def test_prefetcher_yields_all(voc_dir):
     gen = SegmentationGenerator(folder=voc_dir, mode="train", batch_size=2,
                                 resize_shape=(16, 16), crop_shape=None,

@@ -77,6 +77,18 @@ def test_training_reduces_loss():
     assert "val_Jaccard" in hist and len(hist["val_Jaccard"]) == 8
 
 
+def test_fit_does_not_invalidate_caller_arrays():
+    """Regression: donation must not delete the caller's params/state (on a
+    1-device mesh device_put is a no-op, so fit must copy before donating)."""
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    tr = Trainer(model, epochs=1, lr=1e-2, verbose=0)
+    tr.fit(params, state, FakeGen())
+    # caller's arrays still usable
+    out, _ = model.apply(params, state, jnp.zeros((1, SZ, SZ, 3)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_freeze_set_policy():
     model = TinySegNet()
     params, _ = model.init(jax.random.key(0))
