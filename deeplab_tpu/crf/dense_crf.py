@@ -72,7 +72,12 @@ def _gauss_taps(sigma: float):
 
 def _sep_conv_hw(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
     """Separable spatial filter over (H, W, L) via two MXU matmuls with
-    banded (out=in) Toeplitz matrices built at trace time."""
+    banded (out=in) Toeplitz matrices built at trace time.
+
+    Note: a 17-tap depthwise conv is ~30x fewer FLOPs on paper, but with
+    only L=21 channels it badly underfills the 128-lane VPU/MXU and measures
+    ~7 ms/image slower end-to-end than these dense 512x512 matmuls.
+    """
     h, w, _ = x.shape
     th = _band_matrix(h, taps)
     tw = _band_matrix(w, taps)
