@@ -28,9 +28,15 @@ _DN = jax.lax.conv_dimension_numbers  # cached per-shape by jax
 def _conv(x, kernel, stride: int, rate: int, pads, feature_group_count: int = 1):
     dn = _DN(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
     # float32 runs at HIGHEST precision (the logit-parity contract vs the
-    # reference's f32 CUDA kernels); bfloat16 uses the fast MXU path.
-    precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
-                 else jax.lax.Precision.DEFAULT)
+    # reference's f32 CUDA kernels); bfloat16 uses the fast MXU path with
+    # native bf16 output (the MXU accumulates in f32 internally; forcing
+    # preferred_element_type=f32 here breaks the conv VJP's dtype symmetry).
+    if x.dtype == jnp.float32:
+        precision = jax.lax.Precision.HIGHEST
+        preferred = jnp.float32
+    else:
+        precision = jax.lax.Precision.DEFAULT
+        preferred = None
     return jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype),
         window_strides=(stride, stride),
@@ -39,7 +45,7 @@ def _conv(x, kernel, stride: int, rate: int, pads, feature_group_count: int = 1)
         dimension_numbers=dn,
         feature_group_count=feature_group_count,
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     ).astype(x.dtype)
 
 

@@ -27,7 +27,8 @@ class Trainer:
     def __init__(self, model, epochs: int = 20, callbacks: Iterable = (),
                  lr: float = 7e-4, epsilon: float = 1e-8, decay: float = 1e-6,
                  freeze_before: Optional[str] = None, mesh=None, seed: int = 0,
-                 verbose: int = 1, spatial: bool = False):
+                 verbose: int = 1, spatial: bool = False,
+                 compute_dtype=None, remat: bool = False):
         self.model = model
         self.epochs = epochs
         self.callbacks = list(callbacks)
@@ -41,6 +42,12 @@ class Trainer:
         # conv halo exchanges) — the TPU-native answer to large images
         # (SURVEY.md §5.7).
         self.spatial = spatial
+        # bf16 activations halve HBM traffic and double MXU rate; params,
+        # grads and the optimizer stay f32 (mixed precision).
+        self.compute_dtype = compute_dtype or jnp.float32
+        # jax.checkpoint around the forward: trade recompute for activation
+        # memory (large batches / big images).
+        self.remat = remat
         self.seed = seed
         self.verbose = verbose
         self.stop_training = False
@@ -60,10 +67,17 @@ class Trainer:
         tx = make_optimizer(self.base_lr, self.epsilon, self.decay)
         model = self.model
 
+        def forward(p, state, X, rng):
+            return model.apply(p, state, X, training=True, rng=rng,
+                               frozen=frozen,
+                               compute_dtype=self.compute_dtype)
+
+        if self.remat:
+            forward = jax.checkpoint(forward)
+
         def train_step(params, state, opt_state, lr_scale, rng, X, Y, SW):
             def loss_fn(p):
-                probs, new_state = model.apply(p, state, X, training=True,
-                                               rng=rng, frozen=frozen)
+                probs, new_state = forward(p, state, X, rng)
                 return masked_sparse_ce(Y, probs, SW), (probs, new_state)
 
             (loss, (probs, new_state)), grads = jax.value_and_grad(

@@ -41,9 +41,10 @@ class TinySegNet:
                                jnp.zeros((batch_size, SZ, SZ, 3)))
 
     def apply(self, params, state, img, training=False, rng=None,
-              frozen=frozenset()):
+              frozen=frozenset(), compute_dtype=None):
         return core.apply_model(self.forward, params, state, img,
-                                training=training, rng=rng, frozen=frozen)
+                                training=training, rng=rng, frozen=frozen,
+                                compute_dtype=compute_dtype or jnp.float32)
 
 
 class FakeGen:
@@ -75,6 +76,32 @@ def test_training_reduces_loss():
     hist = tr.fit(params, state, FakeGen(), FakeGen(seed=1))
     assert hist["loss"][-1] < hist["loss"][0] * 0.9
     assert "val_Jaccard" in hist and len(hist["val_Jaccard"]) == 8
+
+
+def test_bf16_training_converges():
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    tr = Trainer(model, epochs=6, lr=1e-2, verbose=0,
+                 compute_dtype=jnp.bfloat16)
+    hist = tr.fit(params, state, FakeGen())
+    assert hist["loss"][-1] < hist["loss"][0] * 0.95
+
+
+def test_remat_training_matches_plain():
+    model = TinySegNet()
+    gen = FakeGen()
+    params, state = model.init(jax.random.key(0))
+    tr1 = Trainer(model, epochs=2, lr=1e-2, verbose=0)
+    h1 = tr1.fit(params, state, gen)
+    params2, state2 = model.init(jax.random.key(0))
+    tr2 = Trainer(model, epochs=2, lr=1e-2, verbose=0, remat=True)
+    h2 = tr2.fit(params2, state2, gen)
+    np.testing.assert_allclose(h1["loss"], h2["loss"], rtol=1e-5)
+    for layer in tr1.params:
+        for k in tr1.params[layer]:
+            np.testing.assert_allclose(np.asarray(tr1.params[layer][k]),
+                                       np.asarray(tr2.params[layer][k]),
+                                       rtol=1e-5, atol=1e-6)
 
 
 def test_fit_does_not_invalidate_caller_arrays():
