@@ -103,6 +103,22 @@ def test_seg_model_subpixel_head():
     np.testing.assert_array_equal(k[..., 0], k[..., 1])
 
 
+def test_seg_model_in_memory_train():
+    """SegModel.train on in-memory arrays (reference utils.py:243-247)."""
+    seg = SegModel(dataset="/nonexistent", image_size=(32, 32))
+    seg.set_batch_size(4)
+    seg.set_num_epochs(2)
+    net = seg.create_seg_model("original", n=21, backbone="mobilenetv2")
+    rng = np.random.RandomState(0)
+    X = rng.rand(8, 32, 32, 3).astype(np.float32) * 255
+    Y = rng.randint(0, 21, (8, 32 * 32)).astype(np.float32)
+    hist = seg.train(net, X, Y, val_data=(X[:4], Y[:4]))
+    assert len(hist["loss"]) == 2
+    assert np.isfinite(hist["loss"]).all()
+    SegModel.set_num_epochs(20)  # restore class default
+    SegModel.set_batch_size(16)
+
+
 def test_bn_training_updates_state(mobilenet_model):
     m, params, state = mobilenet_model
     x = jnp.asarray(np.random.RandomState(0).rand(2, SZ, SZ, 3) * 255,
