@@ -61,6 +61,8 @@ def resize_bilinear_tf1(x: jnp.ndarray, size) -> jnp.ndarray:
     mw = jnp.asarray(_bilinear_matrix(in_w, out_w), dtype=jnp.float32)
     xf = x.astype(jnp.float32)
     # (B,H,W,C): contract H then W on the MXU, full f32 (parity contract).
+    # Measured note: an all-bf16 variant is 4x SLOWER end-to-end — bf16's
+    # (16,128) tiling pads the 21-channel minor dim worse than f32's (8,128).
     y = jnp.einsum("oh,bhwc->bowc", mh, xf,
                    precision=jax.lax.Precision.HIGHEST)
     y = jnp.einsum("ow,bhwc->bhoc", mw, y,
