@@ -45,6 +45,10 @@ class CrfConfig:
     # kernel-density estimate, so subsampling the splat side barely moves a
     # sxy=80/srgb=13 kernel while cutting the worst-shaped matmul s^2-fold.
     splat_stride: int = 1
+    # Opt-in serving knob: run mean field at 1/s resolution (kernel widths
+    # rescaled to keep physical extents) and upsample the refined mask.
+    # s=1 is the reference-faithful default.
+    resolution_scale: int = 1
 
 
 def unary_from_labels(labels: jnp.ndarray, n_labels: int, gt_prob: float,
@@ -378,6 +382,20 @@ def mean_field_batched(imgs: jnp.ndarray, masks: jnp.ndarray,
     Returns refined masks (B, H, W)."""
     def one(args):
         im, mask = args
+        s = cfg.resolution_scale
+        if s > 1:
+            h, w = mask.shape
+            im_s = im[::s, ::s]
+            mask_s = mask[::s, ::s]
+            cfg_s = dataclasses.replace(
+                cfg, resolution_scale=1,
+                sxy_gaussian=cfg.sxy_gaussian / s,
+                sxy_bilateral=cfg.sxy_bilateral / s)
+            U = unary_from_labels(mask_s.reshape(-1), n_labels, cfg.gt_prob,
+                                  zero_unsure=False)
+            Q = mean_field(im_s, U, cfg_s, n_labels)
+            out_s = jnp.argmax(Q, axis=-1).reshape(mask_s.shape)
+            return jnp.repeat(jnp.repeat(out_s, s, axis=0), s, axis=1)[:h, :w]
         U = unary_from_labels(mask.reshape(-1), n_labels, cfg.gt_prob,
                               zero_unsure=False)
         Q = mean_field(im, U, cfg, n_labels)

@@ -119,6 +119,20 @@ def test_fast_config_still_matches_oracle():
     assert agree > 0.94, f"only {agree:.3f} agreement in fast config"
 
 
+def test_half_resolution_mode_close_to_oracle():
+    """resolution_scale=2 (serving knob) stays close to the full-res oracle
+    away from a thin boundary band."""
+    im, mask = _toy_scene(h=32, w=32, seed=7)
+    imgs = jnp.asarray(im[None])
+    masks = jnp.asarray(mask[None])
+    out = np.asarray(mean_field_batched(
+        imgs, masks, CrfConfig(resolution_scale=2), 2))[0]
+    oracle = exact_crf_map(im, mask, zero_unsure=False)
+    assert out.shape == mask.shape
+    agree = np.mean(out == oracle)
+    assert agree > 0.9, f"only {agree:.3f} agreement at half resolution"
+
+
 def test_mean_field_batched_shapes():
     im, mask = _toy_scene()
     imgs = jnp.asarray(np.stack([im, im]))
