@@ -130,6 +130,18 @@ def test_bn_training_updates_state(mobilenet_model):
     assert not np.allclose(before, after)
 
 
+@pytest.mark.parametrize("hw", [(96, 96), (100, 68)])
+def test_non_square_and_odd_sizes(hw):
+    """The builder must handle arbitrary sizes (the notebook's commented
+    720x1280 alternative, cell 0) — ceil-based ASPP pooling and resize."""
+    m = Deeplabv3(weights=None, input_shape=hw + (3,), classes=21,
+                  backbone="mobilenetv2")
+    params, state = m.init(jax.random.key(0))
+    probs, _ = m.apply(params, state, jnp.zeros((1,) + hw + (3,)))
+    assert probs.shape == (1, hw[0] * hw[1], 21)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-4)
+
+
 def test_param_counts_plausible(mobilenet_model):
     _, params, _ = mobilenet_model
     n = param_count(params)
