@@ -27,7 +27,8 @@ def _build(cfg, load_weights=False, weights=None):
     seg.set_num_epochs(cfg.train.epochs)
     net = seg.create_seg_model(cfg.model.net, n=cfg.model.n_classes,
                                backbone=cfg.model.backbone,
-                               load_weights=False)
+                               load_weights=False,
+                               OS=cfg.model.OS, alpha=cfg.model.alpha)
     if weights:
         from deeplab_tpu.params import load_keras_h5
         seg.params, seg.state = load_keras_h5(weights, seg.params, seg.state)
@@ -98,7 +99,8 @@ def cmd_evaluate(args):
     # the train set (the reference notebook cell 10 hardcodes 0.05, which
     # can overlap when training used a different split — pass --eval-split
     # 0.05 to reproduce its published numbers verbatim).
-    split = args.eval_split if args.eval_split else cfg.data.validation_split
+    split = (args.eval_split if args.eval_split is not None
+             else cfg.data.validation_split)
     gen = seg.create_generators(
         crop_shape=None, mode="validation", n_classes=cfg.model.n_classes,
         horizontal_flip=False, vertical_flip=False, brightness=0.0,
@@ -128,9 +130,17 @@ def cmd_predict(args):
         bgr = resize_bilinear(_imread_bgr(path), (w, h)).astype(np.float32)
         probs = fwd(seg.params, seg.state, jnp.asarray(bgr[None]))
         pred = np.argmax(np.asarray(probs), -1)[0].reshape(h, w)
-        if args.crf:
-            from deeplab_tpu.crf import do_crf
-            pred = do_crf(bgr, pred.astype(np.int32), zero_unsure=False)
+        if args.crf and cfg.crf.enabled:
+            from deeplab_tpu.crf import CrfConfig, do_crf
+            crf_cfg = CrfConfig(
+                sxy_gaussian=cfg.crf.sxy_gaussian,
+                compat_gaussian=cfg.crf.compat_gaussian,
+                sxy_bilateral=cfg.crf.sxy_bilateral,
+                srgb=cfg.crf.srgb,
+                compat_bilateral=cfg.crf.compat_bilateral,
+                n_iters=cfg.crf.n_iters)
+            pred = do_crf(bgr, pred.astype(np.int32), zero_unsure=False,
+                          cfg=crf_cfg)
         out = os.path.join(args.out_dir,
                            os.path.splitext(os.path.basename(path))[0]
                            + "_mask.png")

@@ -45,7 +45,8 @@ class CityscapesGenerator(SegmentationGenerator):
     """
 
     def __init__(self, folder, mode="train", n_classes=N_CLASSES,
-                 validation_split=0.0, seed=7, **kw):
+                 validation_split=0.0, seed=7, host_id: int = 0,
+                 num_hosts: int = 1, **kw):
         split_dir = "train" if (mode in ("train", "validation")
                                 and validation_split > 0) else \
             {"train": "train", "validation": "val", "test": "test"}[mode]
@@ -57,7 +58,7 @@ class CityscapesGenerator(SegmentationGenerator):
                   for p in images]
 
         # bypass the parent's VOC path discovery: init with an empty folder
-        # then install our lists (+ optional seeded subsplit).
+        # then install our lists (+ optional seeded subsplit + host shard).
         super().__init__(folder=os.path.join(folder, "__none__"), mode=mode,
                          n_classes=n_classes,
                          validation_split=validation_split, seed=seed, **kw)
@@ -65,6 +66,9 @@ class CityscapesGenerator(SegmentationGenerator):
             idx = reference_split(len(images), validation_split, seed, mode)
             images = [images[j] for j in idx]
             labels = [labels[j] for j in idx]
+        if num_hosts > 1:
+            images = images[host_id::num_hosts]
+            labels = labels[host_id::num_hosts]
         self.image_path_list = images
         self.label_path_list = labels
 

@@ -214,19 +214,23 @@ class ArrayBatcher:
     """In-memory batcher backing SegModel.train (reference utils.py:243-247)."""
 
     def __init__(self, X, Y, batch_size: int, n_classes: int = 21,
-                 sample_weights=None):
+                 sample_weights=None, adaptive_weights: bool = False):
         self.X = np.asarray(X)
         self.Y = np.asarray(Y)
         if self.Y.ndim == 2:
             self.Y = self.Y[..., None]
         self.batch_size = batch_size
         self.n_classes = n_classes
-        if sample_weights is None:
+        if sample_weights is not None:
+            self.SW = np.asarray(sample_weights, "float32")
+        elif adaptive_weights:
             sw = np.stack([adaptive_pixel_weights(y.reshape(-1), n_classes)
                            for y in self.Y])
             self.SW = sw.astype("float32")
         else:
-            self.SW = np.asarray(sample_weights, "float32")
+            # reference parity: model.fit(X, y) trains unweighted
+            # (utils.py:243-247 passes no sample_weight)
+            self.SW = np.ones((len(self.Y), self.Y.shape[1]), "float32")
 
     def __len__(self):
         return max(len(self.X) // self.batch_size, 1)
@@ -264,29 +268,36 @@ class Prefetcher:
             return np.copy(x)
         return tuple(cp(b) for b in batch)
 
-    def _put(self, item) -> bool:
-        """put that stays responsive to close(); returns False if stopped."""
-        while not self._stop.is_set():
+    def _put(self, q, stop, item) -> bool:
+        """put that stays responsive to close(); returns False if stopped.
+        Uses the queue/event captured at worker start so a stale worker can
+        never write into a newer iteration's queue."""
+        while not stop.is_set():
             try:
-                self.q.put(item, timeout=0.2)
+                q.put(item, timeout=0.2)
                 return True
             except queue.Full:
                 continue
         return False
 
-    def _worker(self, indices):
+    def _worker(self, q, stop, indices):
         for i in indices:
-            if self._stop.is_set():
+            if stop.is_set():
                 return
-            if not self._put(self._copy_batch(self.gen[i])):
+            if not self._put(q, stop, self._copy_batch(self.gen[i])):
                 return
-        self._put(None)
+        self._put(q, stop, None)
 
     def __iter__(self):
-        self._stop.clear()
+        # retire any previous worker before starting a new run
+        self._stop.set()
+        if self._thread is not None and self._thread.is_alive():
+            self._thread.join(timeout=5)
+        self._stop = threading.Event()
         self.q = queue.Queue(maxsize=self.max_queue_size)  # fresh per run
         self._thread = threading.Thread(
-            target=self._worker, args=(range(len(self.gen)),), daemon=True)
+            target=self._worker, args=(self.q, self._stop,
+                                       range(len(self.gen))), daemon=True)
         self._thread.start()
         while True:
             item = self.q.get()

@@ -31,17 +31,22 @@ class SegNet:
     """A built segmentation network: pure forward + init/apply, mirrors the
     Keras Model returned by the reference's create_seg_model."""
 
-    def __init__(self, image_size, n_classes: int, backbone: str, net: str):
+    def __init__(self, image_size, n_classes: int, backbone: str, net: str,
+                 OS: int = 16, alpha: float = 1.0):
         self.sz = tuple(image_size)          # (H, W)
         self.n_classes = n_classes
         self.backbone = backbone
         self.net = net
+        # reference create_seg_model hardcodes OS=16/alpha=1 (utils.py:177-179)
+        self.OS = OS
+        self.alpha = alpha
         self.scale = 4 if backbone == "xception" else 8
         self.name = ("deeplabv3p" if net == "original" else "deeplabv3p_subpixel")
 
     def forward(self, ctx, img):
-        feats = deeplabv3_forward(ctx, img, backbone=self.backbone, OS=16,
-                                  alpha=1.0, classes=21, return_features=True)
+        feats = deeplabv3_forward(ctx, img, backbone=self.backbone,
+                                  OS=self.OS, alpha=self.alpha, classes=21,
+                                  return_features=True)
         n = self.n_classes
         if self.net == "original":
             x = conv2d(ctx, feats, n, 1, "conv_upsample", use_bias=True)
@@ -63,7 +68,6 @@ class SegNet:
 
     def apply(self, params, state, img, training: bool = False, rng=None,
               frozen: frozenset = frozenset(), compute_dtype=None):
-        import jax.numpy as jnp
         return core.apply_model(self.forward, params, state, img,
                                 training=training, rng=rng, frozen=frozen,
                                 compute_dtype=compute_dtype or jnp.float32)
@@ -85,12 +89,13 @@ class SegModel:
         self.state = None
 
     def create_seg_model(self, net, n=21, backbone="mobilenetv2",
-                         load_weights=False, multi_gpu=False, rng=None):
+                         load_weights=False, multi_gpu=False, rng=None,
+                         OS=16, alpha=1.0):
         """Build the truncated trunk + head. Returns the SegNet; params/state
         are stored on the facade (and on the returned net for convenience)."""
         self.net = net
         self.modelpath = f"weights/{backbone}_{net}.h5"
-        model = SegNet(self.sz, n, backbone, net)
+        model = SegNet(self.sz, n, backbone, net, OS=OS, alpha=alpha)
         rng = rng if rng is not None else jax.random.key(0)
         params, state = model.init(rng)
         # ICNR is the kernel_init of the subpixel conv (utils.py:200-204),

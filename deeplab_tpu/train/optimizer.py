@@ -18,32 +18,23 @@ from typing import Optional
 import jax
 import optax
 
-# Graph-order layers at-or-after 'concat_projection' in the reference model
-# (deeplabv3p.py:406-444 + the SegModel heads, utils.py:188-198).
-_TRAINABLE_TAIL_PREFIXES = (
-    "concat_projection",
-    "feature_projection0",
-    "decoder_conv0",
-    "decoder_conv1",
-    "logits_semantic",
-    "custom_logits_semantic",
-    "conv_upsample",
-    "subpixel",
-)
-
-
 def freeze_set(params, freeze_before: Optional[str] = "concat_projection"
                ) -> frozenset:
-    """Layer names to freeze: all except the trainable tail (notebook cell 5).
+    """Layer names to freeze: everything before ``freeze_before`` in graph
+    order (notebook cell 5 anchors at 'concat_projection'; it and everything
+    after stays trainable).
 
+    The param dict preserves graph insertion order (models create layers in
+    forward order), so "before" is a prefix of its keys.
     ``freeze_before=None`` freezes nothing (training from scratch)."""
     if freeze_before is None:
         return frozenset()
-    assert freeze_before == "concat_projection", (
-        "the reference freeze policy is anchored at concat_projection")
-    return frozenset(
-        name for name in params
-        if not name.startswith(_TRAINABLE_TAIL_PREFIXES))
+    names = list(params)
+    if freeze_before not in names:
+        raise ValueError(
+            f"freeze_before layer {freeze_before!r} not found in the model "
+            f"(known layers include e.g. {names[:3]}...)")
+    return frozenset(names[:names.index(freeze_before)])
 
 
 def keras_adam_schedule(lr: float = 7e-4, decay: float = 1e-6):

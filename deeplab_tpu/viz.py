@@ -56,7 +56,7 @@ def mIOU(gt: np.ndarray, preds: np.ndarray) -> float:
 
 
 def calculate_iou(net, params, state, generator, nb_classes: int = 21,
-                  image_size=None, ref_shift: bool = True):
+                  ref_shift: bool = True):
     """Dataset-level confusion matrix (notebook cell 10), vectorized.
 
     ``ref_shift=True`` reproduces the notebook's ``conf_m[l-1, p-1]``
@@ -64,7 +64,6 @@ def calculate_iou(net, params, state, generator, nb_classes: int = 21,
     Returns (conf_m, per-class IoU, published mean-IOU scalar).
     """
     import jax
-    sz = image_size or net.sz
     fwd = jax.jit(lambda p, s, x: net.apply(p, s, x)[0])
     conf = jnp.zeros((nb_classes, nb_classes), jnp.int32)
     for i in range(len(generator)):
