@@ -83,10 +83,19 @@ def _sep_conv_hw(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
     ~7 ms/image slower end-to-end than these dense 512x512 matmuls.
     """
     h, w, _ = x.shape
-    th = _band_matrix(h, taps)
-    tw = _band_matrix(w, taps)
-    y = jnp.einsum("ih,hwl->iwl", th, x, precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum("jw,hwl->hjl", tw, y, precision=jax.lax.Precision.HIGHEST)
+    # f32 inputs keep exact 6-pass precision; bf16 inputs take the fast
+    # single-pass MXU path (used for the per-iteration message only — the
+    # normalization is always computed in f32).
+    if x.dtype == jnp.float32:
+        prec = jax.lax.Precision.HIGHEST
+        th = _band_matrix(h, taps)
+        tw = _band_matrix(w, taps)
+    else:
+        prec = jax.lax.Precision.DEFAULT
+        th = _band_matrix(h, taps).astype(x.dtype)
+        tw = _band_matrix(w, taps).astype(x.dtype)
+    y = jnp.einsum("ih,hwl->iwl", th, x, precision=prec)
+    y = jnp.einsum("jw,hwl->hjl", tw, y, precision=prec)
     return y
 
 
