@@ -20,6 +20,15 @@ from deeplab_tpu.ops.conv import conv2d, sep_conv_bn
 from deeplab_tpu.ops.resize import resize_bilinear_tf1
 from deeplab_tpu.models import mobilenetv2, xception
 
+# Upstream pretrained-weight release URLs (reference deeplabv3p.py:42-43).
+# This environment has no egress; params.load_pretrained_pascal_voc resolves
+# these filenames from a local cache instead of downloading.
+WEIGHTS_PATH_X = ("https://github.com/bonlime/keras-deeplab-v3-plus/releases/"
+                  "download/1.1/deeplabv3_xception_tf_dim_ordering_tf_kernels.h5")
+WEIGHTS_PATH_MOBILE = ("https://github.com/bonlime/keras-deeplab-v3-plus/"
+                       "releases/download/1.1/"
+                       "deeplabv3_mobilenetv2_tf_dim_ordering_tf_kernels.h5")
+
 
 def aspp(ctx, x, backbone: str, OS: int, input_hw):
     """ASPP head (reference deeplabv3p.py:371-410).

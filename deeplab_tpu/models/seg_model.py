@@ -145,11 +145,33 @@ class SegModel:
         self.params, self.state = trainer.params, trainer.state
         return history
 
+    def build_callbacks(self, tf_board=False, plot_process=False,
+                        monitor="val_Jaccard", mode="max"):
+        """Notebook cell-5 callback set.  (The reference's SegModel.train
+        references self.build_callbacks, which is only ever defined in the
+        notebook's namespace — a latent NameError upstream; defined here.)"""
+        from deeplab_tpu.train.callbacks import (EarlyStopping,
+                                                 ModelCheckpoint,
+                                                 ReduceLROnPlateau,
+                                                 TensorBoard)
+        checkpointer = ModelCheckpoint(self.modelpath, verbose=1,
+                                       save_best_only=True, monitor=monitor,
+                                       mode=mode)
+        stop_train = EarlyStopping(monitor=monitor, patience=100, verbose=1,
+                                   mode=mode)
+        reduce_lr = ReduceLROnPlateau(monitor=monitor, factor=0.5,
+                                      patience=5, min_lr=1e-6)
+        if tf_board:
+            return [reduce_lr, stop_train,
+                    TensorBoard(log_dir="./logs/" + str(self.net))]
+        return [checkpointer, reduce_lr, stop_train]
+
     def train(self, model, X, y, val_data, tf_board=False,
               plot_train_process=False):
         from deeplab_tpu.train.trainer import Trainer
         from deeplab_tpu.data.generator import ArrayBatcher
-        trainer = Trainer(model, epochs=self.epochs)
+        trainer = Trainer(model, epochs=self.epochs,
+                          callbacks=self.build_callbacks(tf_board=tf_board))
         gen = ArrayBatcher(X, y, self.batch_size, n_classes=model.n_classes)
         val_gen = ArrayBatcher(val_data[0], val_data[1], self.batch_size,
                                n_classes=model.n_classes)
