@@ -26,6 +26,21 @@ def test_jsonl_logger(tmp_path):
     assert {"epoch", "lr", "loss", "Jaccard"} <= set(lines[0])
 
 
+def test_tensorboard_callback(tmp_path):
+    pytest.importorskip("tensorflow")
+    from deeplab_tpu.train.callbacks import TensorBoard
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    logdir = str(tmp_path / "tb")
+    tr = Trainer(model, epochs=2, lr=1e-2, verbose=0,
+                 callbacks=[TensorBoard(log_dir=logdir)])
+    tr.fit(params, state, FakeGen())
+    files = []
+    for root, _, names in os.walk(logdir):
+        files += [n for n in names if "tfevents" in n]
+    assert files, "no tensorboard event files written"
+
+
 def test_multi_device_predict_matches_single():
     model = TinySegNet()
     params, state = model.init(jax.random.key(0))
