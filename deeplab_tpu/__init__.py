@@ -17,6 +17,7 @@ Public surface mirrors the reference:
 from deeplab_tpu.core import init_model, apply_model, Ctx
 from deeplab_tpu.models.deeplabv3p import Deeplabv3
 from deeplab_tpu.models.seg_model import SegModel
+from deeplab_tpu.predictor import Predictor
 from deeplab_tpu import losses, metrics
 
 __version__ = "0.1.0"

@@ -1,0 +1,67 @@
+"""High-level serving API: one jitted image -> logits -> CRF -> mask pipeline.
+
+The reference's inference story is scattered across notebook cells 7-9
+(predict, host argmax, CPU pydensecrf).  ``Predictor`` packages the whole
+path as a single compiled function that never leaves the device, with
+optional mesh sharding for multi-chip serving.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deeplab_tpu.crf import CrfConfig, mean_field_batched
+
+
+class Predictor:
+    """Compiled end-to-end segmentation inference.
+
+    Args:
+      net: a SegNet / Deeplabv3-like object with ``apply``.
+      params, state: the weight trees.
+      crf: CrfConfig for on-device post-processing, or None to skip.
+      compute_dtype: bf16 (default) for the fast path, f32 for parity.
+      mesh: optional jax Mesh; batches shard over its 'data' axis.
+    """
+
+    def __init__(self, net, params, state, crf: Optional[CrfConfig] = None,
+                 compute_dtype=jnp.bfloat16, mesh=None,
+                 n_classes: Optional[int] = None):
+        self.net = net
+        self.params = params
+        self.state = state
+        self.crf = crf
+        self.n_classes = n_classes or getattr(net, "n_classes", 21)
+        h, w = net.sz
+        self._hw = (h, w)
+
+        def pipeline(params, state, img):
+            probs, _ = net.apply(params, state, img,
+                                 compute_dtype=compute_dtype)
+            preds = jnp.argmax(
+                probs.reshape(img.shape[0], h, w, self.n_classes), axis=-1)
+            if crf is not None:
+                preds = mean_field_batched(img, preds, crf, self.n_classes)
+            return preds
+
+        if mesh is not None:
+            from deeplab_tpu.parallel.mesh import (data_sharding,
+                                                   replicated_sharding)
+            repl = replicated_sharding(mesh)
+            data = data_sharding(mesh)
+            self.params = jax.device_put(params, repl)
+            self.state = jax.device_put(state, repl)
+            self._fn = jax.jit(pipeline, in_shardings=(repl, repl, data),
+                               out_shardings=data)
+        else:
+            self._fn = jax.jit(pipeline)
+
+    def __call__(self, images) -> np.ndarray:
+        """images: (B, H, W, 3) raw 0-255 BGR float/uint8 -> (B, H, W) int32
+        label maps (CRF-refined when configured)."""
+        img = jnp.asarray(images, jnp.float32)
+        return np.asarray(self._fn(self.params, self.state, img))

@@ -1,0 +1,44 @@
+"""Predictor: jitted end-to-end pipeline, with/without CRF, sharded."""
+
+import numpy as np
+import jax
+
+from deeplab_tpu.crf import CrfConfig
+from deeplab_tpu.models.seg_model import SegNet
+from deeplab_tpu.parallel.mesh import get_mesh
+from deeplab_tpu.predictor import Predictor
+
+SZ = 32
+
+
+def _net_and_weights():
+    net = SegNet((SZ, SZ), 21, "mobilenetv2", "original")
+    params, state = net.init(jax.random.key(0))
+    return net, params, state
+
+
+def test_predictor_basic():
+    net, params, state = _net_and_weights()
+    pred = Predictor(net, params, state, crf=None)
+    imgs = np.random.RandomState(0).rand(2, SZ, SZ, 3) * 255
+    out = pred(imgs)
+    assert out.shape == (2, SZ, SZ)
+    assert out.dtype.kind == "i" and out.max() < 21
+
+
+def test_predictor_with_crf():
+    net, params, state = _net_and_weights()
+    pred = Predictor(net, params, state,
+                     crf=CrfConfig(color_step=2.0, splat_stride=2))
+    imgs = np.random.RandomState(1).rand(2, SZ, SZ, 3) * 255
+    out = pred(imgs)
+    assert out.shape == (2, SZ, SZ) and out.max() < 21
+
+
+def test_predictor_sharded_matches_unsharded():
+    net, params, state = _net_and_weights()
+    imgs = np.random.RandomState(2).rand(8, SZ, SZ, 3) * 255
+    p1 = Predictor(net, params, state, crf=None)
+    p8 = Predictor(net, params, state, crf=None,
+                   mesh=get_mesh(jax.devices()[:8]))
+    np.testing.assert_array_equal(p1(imgs), p8(imgs))
