@@ -8,12 +8,15 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+# BENCH_NET=subpixel benchmarks the pixel-shuffle head variant
+NET = os.environ.get("BENCH_NET", "original")
 BATCH = 8
 WARMUP = 3
 ITERS = 20
@@ -23,7 +26,7 @@ BASELINE_PER_CHIP = 2000.0 / 8.0  # v5e-8 target split per chip
 def main():
     from deeplab_tpu.models.seg_model import SegNet
 
-    model = SegNet((512, 512), 21, "mobilenetv2", "original")
+    model = SegNet((512, 512), 21, "mobilenetv2", NET)
     params, state = model.init(jax.random.key(0))
 
     crf_params = None
@@ -64,7 +67,8 @@ def main():
     ips = BATCH * ITERS / dt
     crf_tag = "+CRF" if mean_field_batched is not None else ""
     print(json.dumps({
-        "metric": f"512x512 VOC inference{crf_tag} images/sec/chip",
+        "metric": f"512x512 VOC inference{crf_tag} images/sec/chip"
+                  + ("" if NET == "original" else f" [{NET}]"),
         "value": round(ips, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(ips / BASELINE_PER_CHIP, 3),
