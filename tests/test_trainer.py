@@ -78,6 +78,24 @@ def test_training_reduces_loss():
     assert "val_Jaccard" in hist and len(hist["val_Jaccard"]) == 8
 
 
+def test_training_is_deterministic():
+    """Same seed + data -> identical history and params across runs."""
+    model = TinySegNet()
+    gen = FakeGen()
+    h = []
+    p = []
+    for _ in range(2):
+        params, state = model.init(jax.random.key(0))
+        tr = Trainer(model, epochs=2, lr=1e-2, verbose=0, seed=3)
+        h.append(tr.fit(params, state, gen))
+        p.append(tr.params)
+    np.testing.assert_array_equal(h[0]["loss"], h[1]["loss"])
+    for layer in p[0]:
+        for k in p[0][layer]:
+            np.testing.assert_array_equal(np.asarray(p[0][layer][k]),
+                                          np.asarray(p[1][layer][k]))
+
+
 def test_bf16_training_converges():
     model = TinySegNet()
     params, state = model.init(jax.random.key(0))
