@@ -119,6 +119,34 @@ def test_fast_config_still_matches_oracle():
     assert agree > 0.94, f"only {agree:.3f} agreement in fast config"
 
 
+def test_large_multilabel_scene_matches_oracle():
+    """5-label 48x48 structured scene: both configs vs the exact oracle."""
+    rng = np.random.RandomState(0)
+    H = W = 48
+    im = np.zeros((H, W, 3), np.float32)
+    im[:H // 2, :W // 2] = [200, 50, 50]
+    im[:H // 2, W // 2:] = [50, 200, 50]
+    im[H // 2:, :W // 2] = [50, 50, 200]
+    im[H // 2:, W // 2:] = [200, 200, 60]
+    yy, xx = np.mgrid[:H, :W]
+    circ = (yy - 24) ** 2 + (xx - 24) ** 2 < 100
+    im[circ] = [230, 230, 230]
+    im = np.clip(im + rng.randn(H, W, 3) * 6, 0, 255)
+    mask = np.zeros((H, W), np.int32)
+    mask[:H // 2, W // 2:] = 1
+    mask[H // 2:, :W // 2] = 2
+    mask[H // 2:, W // 2:] = 3
+    mask[circ] = 4
+    noise = rng.rand(H, W) < 0.12
+    mask[noise] = rng.randint(0, 5, noise.sum())
+
+    oracle = exact_crf_map(im, mask, zero_unsure=False)
+    for cfg in (CrfConfig(), CrfConfig(color_step=2.0, splat_stride=2)):
+        ours = do_crf(im, mask, zero_unsure=False, cfg=cfg)
+        agree = np.mean(ours == oracle)
+        assert agree > 0.99, (cfg, agree)
+
+
 def test_half_resolution_mode_close_to_oracle():
     """resolution_scale=2 (serving knob) stays close to the full-res oracle
     away from a thin boundary band."""
