@@ -26,7 +26,7 @@ import os
 import queue
 import random
 import threading
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -19,7 +19,7 @@ no permutation needed (SURVEY.md C9).
 from __future__ import annotations
 
 import os
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp
