@@ -49,6 +49,10 @@ class CrfConfig:
     # rescaled to keep physical extents) and upsample the refined mask.
     # s=1 is the reference-faithful default.
     resolution_scale: int = 1
+    # Bilateral filter backend: "auto" picks the fused Pallas kernels on TPU
+    # (kernels/crf_fused.py) and the XLA formulation elsewhere; "xla" /
+    # "pallas" force one (pallas off-TPU runs in interpret mode — tests only).
+    backend: str = "auto"
 
 
 def unary_from_labels(labels: jnp.ndarray, n_labels: int, gt_prob: float,
@@ -257,6 +261,176 @@ class _BilateralPlan:
         return self.uncells(out, L).reshape(self.h * self.w, L)
 
 
+def _use_pallas(cfg: "CrfConfig") -> bool:
+    from deeplab_tpu.kernels.crf_fused import pallas_available
+    return (cfg.backend == "pallas"
+            or (cfg.backend == "auto" and pallas_available()))
+
+
+class _PallasPlan:
+    """Batched fused-kernel bilateral plan (kernels/crf_fused.py).
+
+    Everything lives in pixel-major *cell planes* ``(B*Z, ch, P)`` — the
+    pixel axis minor keeps every HBM tile 128-lane dense, where the
+    image-layout ``(..., L=21)`` tensors of the XLA path are lane-padded
+    ~6x (measured: the pad alone cost more than the filter kernels).
+    The grid is stored transposed ``(B*Z, D, C)`` with d = b*L + l b-major;
+    the (r, g) and b color blurs are fused into the slice kernel, so the
+    only XLA work per apply is the cross-cell blur einsum (~0.1 GFLOP).
+    """
+
+    def __init__(self, imgs, sxy: float, srgb: float, color_step: float,
+                 splat_stride: int = 1):
+        from deeplab_tpu.kernels.crf_fused import pallas_available
+        B, h, w, _ = imgs.shape
+        self.B, self.h, self.w = B, h, w
+        self.cs = cs = max(int(round(sxy)), 1)
+        srgb_grid = srgb * color_step
+        self.nc = nc = int(math.floor(255.0 / srgb_grid)) + 2
+        self.inv_step = 1.0 / srgb_grid
+        self.ny, self.nx = -(-h // cs), -(-w // cs)
+        self.Z = self.ny * self.nx
+        self.P = cs * cs
+        self.rgb = self.cells_v(
+            jnp.moveaxis(imgs.astype(jnp.float32), -1, 1))  # (B*Z, 3, P)
+        self.stride = (splat_stride
+                       if splat_stride > 1 and cs % splat_stride == 0 else 1)
+        if self.stride > 1:
+            self.rgb_sub = self.subsample(self.rgb, 3)
+        self.S = _kron_band(self.ny, self.nx, 1.0)               # (Z, Z)
+        self.Brg = _kron_band(nc, nc, color_step)                # (C, C)
+        taps = _blur_taps(color_step)
+        self.bb_taps = tuple(float(t) for t in taps)
+        self.interpret = not pallas_available()
+
+    # ---- layout transforms: (B, ch, H, W) <-> (B*Z, ch, P) ----
+
+    def cells_v(self, x):
+        """(B, ch, H, W) -> (B*Z, ch, P), zero-padding H/W up to cells."""
+        B, ch = x.shape[:2]
+        ph, pw = self.ny * self.cs - self.h, self.nx * self.cs - self.w
+        if ph or pw:
+            x = jnp.pad(x, [(0, 0), (0, 0), (0, ph), (0, pw)])
+        cs = self.cs
+        return (x.reshape(B, ch, self.ny, cs, self.nx, cs)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(B * self.Z, ch, self.P))
+
+    def uncells_v(self, y, ch):
+        """(B*Z, ch, P) -> (B, ch, H, W)."""
+        B, ny, nx, cs = self.B, self.ny, self.nx, self.cs
+        return (y.reshape(B, ny, nx, ch, cs, cs)
+                .transpose(0, 3, 1, 4, 2, 5)
+                .reshape(B, ch, ny * cs, nx * cs))[:, :, :self.h, :self.w]
+
+    def subsample(self, x, ch):
+        s, cs = self.stride, self.cs
+        sub = x.reshape(-1, ch, cs, cs)[:, :, ::s, ::s]
+        return sub.reshape(-1, ch, (cs // s) ** 2)
+
+    def z_blur(self, G):
+        """Cross-cell spatial blur of the grid: (B*Z, D, C)."""
+        BZ, D, C = G.shape
+        G = jnp.einsum("bzdc,zy->bydc", G.reshape(self.B, self.Z, D, C),
+                       self.S)
+        return G.reshape(BZ, D, C)
+
+    def apply(self, V, scale=None):
+        """V: (B*Z, L, P) [+ optional (B*Z, 1, P) splat-side multiplier]
+        -> filtered (B*Z, L, P).  Self-contribution INCLUDED."""
+        from deeplab_tpu.kernels.crf_fused import slice_planes, splat_planes
+        L = V.shape[1]
+        kw = dict(nc=self.nc, L=L, inv_step=self.inv_step,
+                  interpret=self.interpret)
+        if self.stride > 1:
+            G = splat_planes(self.rgb_sub, self.subsample(V, L),
+                             None if scale is None
+                             else self.subsample(scale, 1), **kw)
+            G = G * float(self.stride ** 2)
+        else:
+            G = splat_planes(self.rgb, V, scale, **kw)
+        G = self.z_blur(G)
+        return slice_planes(self.rgb, G, self.Brg, bb_taps=self.bb_taps,
+                            **kw)
+
+    def self_weight(self):
+        """Closed-form per-pixel self-weight, (B*Z, 1, P) — the cell-plane
+        version of ``bilateral_self_weight``."""
+        coords = self.rgb * self.inv_step                # (B*Z, 3, P)
+        frac = coords - jnp.floor(coords)
+        s0, s1 = 1.0 - frac, frac
+        taps = self.bb_taps
+        b0, b1 = taps[len(taps) // 2], taps[len(taps) // 2 + 1]
+        per_dim = (s0 ** 2 + s1 ** 2) * b0 + 2.0 * s0 * s1 * b1
+        return jnp.prod(per_dim, axis=1, keepdims=True)  # (B*Z, 1, P)
+
+
+def _sep_conv_bhw(x, taps):
+    """Separable spatial filter over (B, L, H, W) in bf16 (the fast
+    per-iteration message path; normalizations stay f32 — see
+    ``_sep_conv_hw``)."""
+    h, w = x.shape[2:]
+    th = _band_matrix(h, taps).astype(jnp.bfloat16)
+    tw = _band_matrix(w, taps).astype(jnp.bfloat16)
+    y = jnp.einsum("ih,blhw->bliw", th, x.astype(jnp.bfloat16))
+    y = jnp.einsum("jw,blhw->blhj", tw, y)
+    return y.astype(jnp.float32)
+
+
+def unary_planes(labels, n_labels: int, gt_prob: float,
+                 zero_unsure: bool = True) -> jnp.ndarray:
+    """(B*Z, 1, P) int labels -> (B*Z, L, P) unary energies (the cell-plane
+    version of ``unary_from_labels``)."""
+    n_energy = -math.log((1.0 - gt_prob) / (n_labels - 1))
+    p_energy = -math.log(gt_prob)
+    idx = labels - 1 if zero_unsure else labels
+    bins = jnp.arange(n_labels, dtype=labels.dtype).reshape(1, n_labels, 1)
+    one_hot = (idx == bins).astype(jnp.float32)          # (B*Z, L, P)
+    U = n_energy + (p_energy - n_energy) * one_hot
+    if zero_unsure:
+        U = jnp.where(labels == 0, -math.log(1.0 / n_labels), U)
+    return U
+
+
+def _mean_field_planes(plan: _PallasPlan, unary_c: jnp.ndarray,
+                       cfg: "CrfConfig", n_labels: int) -> jnp.ndarray:
+    """Mean-field inference in cell-plane layout.  unary_c: (B*Z, L, P)
+    energies.  Returns Q: (B*Z, L, P).  Same math as ``mean_field`` —
+    Krähenbühl & Koltun Algorithm 1 with symmetric normalization and
+    self-interaction excluded — laid out for the TPU memory system."""
+    BZ, L, P = unary_c.shape
+    taps = _gauss_taps(cfg.sxy_gaussian)
+    # spatial normalization (f32-exact, hoisted): (B*Z, 1, P)
+    gn_img = gaussian_norm((plan.h, plan.w), cfg.sxy_gaussian)   # (H, W, 1)
+    gn_c = plan.cells_v(jnp.broadcast_to(
+        jnp.moveaxis(gn_img, -1, 0)[None], (plan.B, 1, plan.h, plan.w)))
+    # bilateral normalization: norm pass over ones.  ``valid`` masks the
+    # cell-padding pixels out of every splat (they don't exist in the XLA
+    # path, whose value tensors are zero-padded per apply).
+    valid = plan.cells_v(jnp.ones((plan.B, 1, plan.h, plan.w), jnp.float32))
+    b_self = plan.self_weight()
+    ksum = plan.apply(valid) - b_self
+    b_norm = jax.lax.rsqrt(jnp.maximum(ksum, 1e-20))             # (B*Z, 1, P)
+    b_scale = b_norm * valid
+
+    def body(Q, _):
+        # spatial message: only the banded matmuls run in image layout
+        a = Q * gn_c
+        f_img = _sep_conv_bhw(plan.uncells_v(a, L), taps)
+        msg_g = (plan.cells_v(f_img) - a) * gn_c
+        # bilateral message: Q*b_norm (and the pad mask) folded into the
+        # splat kernel
+        filt = plan.apply(Q, scale=b_scale)
+        msg_b = (filt - b_self * b_norm * Q) * b_norm
+        logits = -unary_c + cfg.compat_gaussian * msg_g \
+            + cfg.compat_bilateral * msg_b
+        return jax.nn.softmax(logits, axis=1), None
+
+    Q0 = jax.nn.softmax(-unary_c, axis=1)
+    Q, _ = jax.lax.scan(body, Q0, None, length=cfg.n_iters)
+    return Q
+
+
 def bilateral_filter(im: jnp.ndarray, values: jnp.ndarray, sxy: float,
                      srgb: float, color_step: float = 1.0) -> jnp.ndarray:
     """Approximate K @ values for the bilateral kernel.
@@ -340,8 +514,15 @@ def mean_field(im: jnp.ndarray, unary: jnp.ndarray, cfg: CrfConfig,
                n_labels: int) -> jnp.ndarray:
     """im: (H, W, 3) 0-255; unary: (N, L) energies.  Returns Q (N, L)."""
     h, w, _ = im.shape
+    if _use_pallas(cfg):
+        plan = _PallasPlan(im[None], cfg.sxy_bilateral, cfg.srgb,
+                           cfg.color_step, cfg.splat_stride)
+        u_img = jnp.moveaxis(unary.reshape(h, w, n_labels), -1, 0)[None]
+        Qc = _mean_field_planes(plan, plan.cells_v(u_img), cfg, n_labels)
+        q_img = plan.uncells_v(Qc, n_labels)                 # (1, L, H, W)
+        return jnp.moveaxis(q_img[0], 0, -1).reshape(-1, n_labels)
     g_norm = gaussian_norm((h, w), cfg.sxy_gaussian)
-    # One bilateral plan per image: the pixel-space factor tensors are
+    # One bilateral plan per image: the image-derived precomputation is
     # V-independent and shared by the norm pass + all 5 iterations.
     plan = _BilateralPlan(im, cfg.sxy_bilateral, cfg.srgb, cfg.color_step,
                           cfg.splat_stride)
@@ -389,6 +570,27 @@ def mean_field_batched(imgs: jnp.ndarray, masks: jnp.ndarray,
     """Batched on-device CRF over hard masks (no label compression — all
     n_labels classes).  imgs: (B, H, W, 3); masks: (B, H, W) int.
     Returns refined masks (B, H, W)."""
+    if _use_pallas(cfg):
+        B, H, W = masks.shape
+        s = cfg.resolution_scale
+        if s > 1:
+            imgs_s = imgs[:, ::s, ::s]
+            masks_s = masks[:, ::s, ::s]
+            cfg_s = dataclasses.replace(
+                cfg, resolution_scale=1,
+                sxy_gaussian=cfg.sxy_gaussian / s,
+                sxy_bilateral=cfg.sxy_bilateral / s)
+            out_s = mean_field_batched(imgs_s, masks_s, cfg_s, n_labels)
+            out = jnp.repeat(jnp.repeat(out_s, s, axis=1), s, axis=2)
+            return out[:, :H, :W]
+        plan = _PallasPlan(imgs.astype(jnp.float32), cfg.sxy_bilateral,
+                           cfg.srgb, cfg.color_step, cfg.splat_stride)
+        labels_c = plan.cells_v(masks[:, None].astype(jnp.int32))
+        U = unary_planes(labels_c, n_labels, cfg.gt_prob, zero_unsure=False)
+        Q = _mean_field_planes(plan, U, cfg, n_labels)
+        pred_c = jnp.argmax(Q, axis=1, keepdims=True)    # (B*Z, 1, P)
+        return plan.uncells_v(pred_c, 1)[:, 0]           # (B, H, W)
+
     def one(args):
         im, mask = args
         s = cfg.resolution_scale
