@@ -284,21 +284,37 @@ class _PallasPlan:
         from deeplab_tpu.kernels.crf_fused import pallas_available
         B, h, w, _ = imgs.shape
         self.B, self.h, self.w = B, h, w
-        self.cs = cs = max(int(round(sxy)), 1)
+        cs = max(int(round(sxy)), 1)
+        # Anisotropic cells: when sigma is large, snap the x cell width to
+        # the 128-lane tile.  Square 80px cells force every cells_v /
+        # uncells_v reshape through 80-lane (1.6x padded) tiles — measured
+        # costlier per iteration than the filter kernels themselves.  The
+        # coarser x quantization (<= 1.6 sigma grid step, Gaussian-blurred)
+        # is the same approximation class as color_step=2.
+        self.cs_y = cs
+        self.cs_x = 128 if cs >= 80 else cs
         srgb_grid = srgb * color_step
         self.nc = nc = int(math.floor(255.0 / srgb_grid)) + 2
         self.inv_step = 1.0 / srgb_grid
-        self.ny, self.nx = -(-h // cs), -(-w // cs)
+        self.ny, self.nx = -(-h // self.cs_y), -(-w // self.cs_x)
         self.Z = self.ny * self.nx
-        self.P = cs * cs
+        self.P = self.cs_y * self.cs_x
         self.rgb = self.cells_v(
             jnp.moveaxis(imgs.astype(jnp.float32), -1, 1))  # (B*Z, 3, P)
         self.stride = (splat_stride
-                       if splat_stride > 1 and cs % splat_stride == 0 else 1)
+                       if splat_stride > 1 and self.cs_y % splat_stride == 0
+                       and self.cs_x % splat_stride == 0 else 1)
         if self.stride > 1:
             self.rgb_sub = self.subsample(self.rgb, 3)
-        self.S = _kron_band(self.ny, self.nx, 1.0)               # (Z, Z)
-        self.Brg = _kron_band(nc, nc, color_step)                # (C, C)
+        self.S = jnp.asarray(np.kron(
+            _band_matrix_np(self.ny, self.cs_y / sxy),
+            _band_matrix_np(self.nx, self.cs_x / sxy)))          # (Z, Z)
+        from deeplab_tpu.kernels.crf_fused import _c_pad
+        C, Cp = nc * nc, _c_pad(nc)
+        brg = np.zeros((Cp, Cp), np.float32)
+        brg[:C, :C] = np.kron(_band_matrix_np(nc, color_step),
+                              _band_matrix_np(nc, color_step))
+        self.Brg = jnp.asarray(brg)                 # (C_pad, C_pad), 0-tail
         taps = _blur_taps(color_step)
         self.bb_taps = tuple(float(t) for t in taps)
         self.interpret = not pallas_available()
@@ -308,31 +324,33 @@ class _PallasPlan:
     def cells_v(self, x):
         """(B, ch, H, W) -> (B*Z, ch, P), zero-padding H/W up to cells."""
         B, ch = x.shape[:2]
-        ph, pw = self.ny * self.cs - self.h, self.nx * self.cs - self.w
+        ph, pw = self.ny * self.cs_y - self.h, self.nx * self.cs_x - self.w
         if ph or pw:
             x = jnp.pad(x, [(0, 0), (0, 0), (0, ph), (0, pw)])
-        cs = self.cs
-        return (x.reshape(B, ch, self.ny, cs, self.nx, cs)
+        return (x.reshape(B, ch, self.ny, self.cs_y, self.nx, self.cs_x)
                 .transpose(0, 2, 4, 1, 3, 5)
                 .reshape(B * self.Z, ch, self.P))
 
     def uncells_v(self, y, ch):
         """(B*Z, ch, P) -> (B, ch, H, W)."""
-        B, ny, nx, cs = self.B, self.ny, self.nx, self.cs
-        return (y.reshape(B, ny, nx, ch, cs, cs)
+        B, ny, nx = self.B, self.ny, self.nx
+        return (y.reshape(B, ny, nx, ch, self.cs_y, self.cs_x)
                 .transpose(0, 3, 1, 4, 2, 5)
-                .reshape(B, ch, ny * cs, nx * cs))[:, :, :self.h, :self.w]
+                .reshape(B, ch, ny * self.cs_y,
+                         nx * self.cs_x))[:, :, :self.h, :self.w]
 
     def subsample(self, x, ch):
-        s, cs = self.stride, self.cs
-        sub = x.reshape(-1, ch, cs, cs)[:, :, ::s, ::s]
-        return sub.reshape(-1, ch, (cs // s) ** 2)
+        s = self.stride
+        sub = x.reshape(-1, ch, self.cs_y, self.cs_x)[:, :, ::s, ::s]
+        return sub.reshape(-1, ch, self.P // (s * s))
 
     def z_blur(self, G):
-        """Cross-cell spatial blur of the grid: (B*Z, D, C)."""
+        """Cross-cell spatial blur of the grid: (B*Z, D, C).  Flattened to
+        3D so the contraction is one batched (Z, Z) @ (Z, D*C) matmul with
+        no layout shuffles."""
         BZ, D, C = G.shape
-        G = jnp.einsum("bzdc,zy->bydc", G.reshape(self.B, self.Z, D, C),
-                       self.S)
+        G = jnp.einsum("zy,bzk->byk", self.S.astype(G.dtype),
+                       G.reshape(self.B, self.Z, D * C))
         return G.reshape(BZ, D, C)
 
     def apply(self, V, scale=None):
@@ -368,13 +386,12 @@ class _PallasPlan:
 def _sep_conv_bhw(x, taps):
     """Separable spatial filter over (B, L, H, W) in bf16 (the fast
     per-iteration message path; normalizations stay f32 — see
-    ``_sep_conv_hw``)."""
+    ``_sep_conv_hw``).  Output stays bf16 — the consumer kernel upcasts."""
     h, w = x.shape[2:]
     th = _band_matrix(h, taps).astype(jnp.bfloat16)
     tw = _band_matrix(w, taps).astype(jnp.bfloat16)
     y = jnp.einsum("ih,blhw->bliw", th, x.astype(jnp.bfloat16))
-    y = jnp.einsum("jw,blhw->blhj", tw, y)
-    return y.astype(jnp.float32)
+    return jnp.einsum("jw,blhw->blhj", tw, y)
 
 
 def unary_planes(labels, n_labels: int, gt_prob: float,
@@ -413,22 +430,52 @@ def _mean_field_planes(plan: _PallasPlan, unary_c: jnp.ndarray,
     b_norm = jax.lax.rsqrt(jnp.maximum(ksum, 1e-20))             # (B*Z, 1, P)
     b_scale = b_norm * valid
 
-    def body(Q, _):
-        # spatial message: only the banded matmuls run in image layout
-        a = Q * gn_c
-        f_img = _sep_conv_bhw(plan.uncells_v(a, L), taps)
-        msg_g = (plan.cells_v(f_img) - a) * gn_c
-        # bilateral message: Q*b_norm (and the pad mask) folded into the
-        # splat kernel
-        filt = plan.apply(Q, scale=b_scale)
-        msg_b = (filt - b_self * b_norm * Q) * b_norm
-        logits = -unary_c + cfg.compat_gaussian * msg_g \
-            + cfg.compat_bilateral * msg_b
-        return jax.nn.softmax(logits, axis=1), None
+    from deeplab_tpu.kernels.crf_fused import mf_step_planes, splat_planes
 
-    Q0 = jax.nn.softmax(-unary_c, axis=1)
-    Q, _ = jax.lax.scan(body, Q0, None, length=cfg.n_iters)
-    return Q
+    # the Q state and per-iteration message tensors are bf16 (halves the
+    # HBM traffic of every transform/elementwise pass); all kernel-internal
+    # arithmetic and the normalization terms stay f32
+    bf = jnp.bfloat16
+    gn_b = gn_c.astype(bf)
+    unary_b = unary_c.astype(bf)
+    # splat-side per-pixel scale, hoisted: normalization * pad mask
+    # (* stride^2 splat-subsampling weight, folded in rather than scaling
+    # the grid tensor every iteration)
+    if plan.stride > 1:
+        sub_scale = plan.subsample(b_scale, 1) * float(plan.stride ** 2)
+    else:
+        sub_scale = b_scale
+
+    def body(Q):
+        # spatial message: only the banded matmuls run in image layout;
+        # self-exclusion + normalization happen inside the fused step kernel
+        f_gauss = plan.cells_v(_sep_conv_bhw(plan.uncells_v(Q * gn_b, L),
+                                             taps))
+        # bilateral splat: Q*b_norm (and the pad mask) folded into the kernel
+        if plan.stride > 1:
+            G = splat_planes(plan.rgb_sub, plan.subsample(Q, L), sub_scale,
+                             nc=plan.nc, L=L, inv_step=plan.inv_step,
+                             interpret=plan.interpret)
+        else:
+            G = splat_planes(plan.rgb, Q, sub_scale, nc=plan.nc, L=L,
+                             inv_step=plan.inv_step,
+                             interpret=plan.interpret)
+        G = plan.z_blur(G)
+        # fused: color blurs + slice + messages + compatibilities + softmax
+        Q_next = mf_step_planes(
+            plan.rgb, G, plan.Brg, unary_b, f_gauss, Q, gn_c, b_norm,
+            b_self, nc=plan.nc, L=L, inv_step=plan.inv_step,
+            bb_taps=plan.bb_taps, cg=float(cfg.compat_gaussian),
+            cb=float(cfg.compat_bilateral), interpret=plan.interpret)
+        return Q_next
+
+    # static unroll: a lax.scan carry of the (B*Z, L, P) state inserts
+    # whole-state copies at every iteration boundary (profiled as ~15% of
+    # device time); n_iters is small and static
+    Q = jax.nn.softmax(-unary_c, axis=1).astype(bf)
+    for _ in range(cfg.n_iters):
+        Q = body(Q)
+    return Q.astype(jnp.float32)
 
 
 def bilateral_filter(im: jnp.ndarray, values: jnp.ndarray, sxy: float,

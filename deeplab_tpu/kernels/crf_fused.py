@@ -61,19 +61,29 @@ def _base_frac(plane, inv_step: float):
     return base.astype(jnp.int32), coords - base
 
 
+def _c_pad(nc: int) -> int:
+    """The grid's joint-color axis padded to the 128-lane tile.  Keeping C
+    at its 128-padding in HBM makes the (B*Z, D, C) <-> (B, Z, D*C) reshape
+    around the cross-cell blur a free bitcast (the padded layout IS the
+    flat layout) and every grid matmul K/N-aligned."""
+    C = nc * nc
+    return -(-C // 128) * 128
+
+
 def _t_rg_row(rgb_ref, inv_step: float, nc: int):
-    """Joint (r, g) splat factor, (C, CHUNK) f32, c = r*nc + g.
+    """Joint (r, g) splat factor, (C_pad, CHUNK) f32, c = r*nc + g; rows
+    past nc*nc are zeroed (they exist only for lane alignment).
 
     2-tap linear splat per channel: weight (1-frac) at floor(x), frac at
     floor(x)+1, expanded jointly via iota compares on the VPU.
     """
     br, fr = _base_frac(rgb_ref[0, 0:1], inv_step)
     bg, fg = _base_frac(rgb_ref[0, 1:2], inv_step)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (nc * nc, 1), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (_c_pad(nc), 1), 0)
     cr, cg = iota_c // nc, iota_c % nc
     w_r = jnp.where(cr == br, 1.0 - fr, 0.0) + jnp.where(cr == br + 1, fr, 0.0)
     w_g = jnp.where(cg == bg, 1.0 - fg, 0.0) + jnp.where(cg == bg + 1, fg, 0.0)
-    return w_r * w_g
+    return jnp.where(iota_c < nc * nc, w_r * w_g, 0.0)
 
 
 def _b_weight(bb, fb, b: int):
@@ -92,7 +102,7 @@ def _splat_kernel(rgb_ref, v_ref, n_ref, out_ref, *, nc, L, inv_step):
         [vb * _b_weight(bb, fb, b).astype(jnp.bfloat16) for b in range(nc)],
         axis=0)                                                   # (D, CHUNK)
     contrib = jnp.dot(t_lb, t_rg_c,
-                      preferred_element_type=jnp.float32)         # (D, C)
+                      preferred_element_type=jnp.float32)         # (D, C_pad)
 
     @pl.when(k == 0)
     def _():
@@ -106,8 +116,14 @@ def _splat_kernel(rgb_ref, v_ref, n_ref, out_ref, *, nc, L, inv_step):
 def _slice_kernel(rgb_ref, g_ref, brg_ref, out_ref, *, nc, L, inv_step,
                   bb_taps):
     # fused color blur on the (D, C) cell grid (the z-blur across cells
-    # happened in XLA): joint (r, g) via one small matmul, b via banded
-    # block adds (bb_taps is the static band row of the b blur matrix)
+    # happened in XLA) + slice
+    out_ref[0] = _blur_slice(g_ref, brg_ref, rgb_ref, nc=nc, L=L,
+                             inv_step=inv_step, bb_taps=bb_taps)
+
+
+def _blur_slice(g_ref, brg_ref, rgb_ref, *, nc, L, inv_step, bb_taps):
+    """Shared slice body: fused color blur of the cell grid + slice.
+    Returns the filtered values (L, CHUNK) f32."""
     g = jnp.dot(g_ref[0], brg_ref[:],
                 preferred_element_type=jnp.float32)               # (D, C)
     radius = len(bb_taps) // 2
@@ -129,7 +145,30 @@ def _slice_kernel(rgb_ref, g_ref, brg_ref, out_ref, *, nc, L, inv_step,
     out = m[0:L] * _b_weight(bb, fb, 0)
     for b in range(1, nc):
         out = out + m[b * L:(b + 1) * L] * _b_weight(bb, fb, b)
-    out_ref[0] = out                                              # (L, CHUNK)
+    return out                                                    # (L, CHUNK)
+
+
+def _mf_step_kernel(rgb_ref, g_ref, brg_ref, u_ref, fg_ref, q_ref, gn_ref,
+                    bn_ref, bs_ref, out_ref, *, nc, L, inv_step, bb_taps,
+                    cg, cb):
+    """Fused mean-field iteration tail: slice + both message normalizations
+    + compatibility combine + softmax -> Q_next.  One HBM write per
+    iteration instead of five round-trips through XLA elementwise."""
+    filt = _blur_slice(g_ref, brg_ref, rgb_ref, nc=nc, L=L,
+                       inv_step=inv_step, bb_taps=bb_taps)
+    # inputs may be stored bf16 (HBM traffic); all arithmetic in f32
+    q = q_ref[0].astype(jnp.float32)
+    gn = gn_ref[0]
+    bn = bn_ref[0]
+    # spatial message: fg is the raw filtered (Q * gn); exclude self, scale
+    msg_g = (fg_ref[0].astype(jnp.float32) - q * gn) * gn
+    # bilateral message: filt already excludes nothing; remove self-weight
+    msg_b = (filt - bs_ref[0] * bn * q) * bn
+    logits = -u_ref[0].astype(jnp.float32) + cg * msg_g + cb * msg_b
+    mx = jnp.max(logits, axis=0, keepdims=True)
+    e = jnp.exp(logits - mx)
+    out_ref[0] = (e / jnp.sum(e, axis=0, keepdims=True)).astype(
+        out_ref.dtype)
 
 
 def _rgb_spec(chunk):
@@ -160,13 +199,14 @@ def splat_planes(rgb, values, scale=None, *, nc: int, L: int,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 1, chunk), lambda z, k: (z, 0, k),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, nc * L, nc * nc), lambda z, k: (z, 0, 0),
+        out_specs=pl.BlockSpec((1, nc * L, _c_pad(nc)),
+                               lambda z, k: (z, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Z, nc * L, nc * nc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Z, nc * L, _c_pad(nc)), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(rgb, values.astype(jnp.float32), scale.astype(jnp.float32))
+    )(rgb, values, scale.astype(jnp.float32))
 
 
 @functools.partial(jax.jit,
@@ -182,7 +222,7 @@ def slice_planes(rgb, grid_t, brg, *, nc: int, L: int, inv_step: float,
     Z, _, P = rgb.shape
     chunk = chunk or P
     assert P % chunk == 0, (P, chunk)
-    C = nc * nc
+    C = _c_pad(nc)
     return pl.pallas_call(
         functools.partial(_slice_kernel, nc=nc, L=L, inv_step=inv_step,
                           bb_taps=bb_taps),
@@ -199,3 +239,48 @@ def slice_planes(rgb, grid_t, brg, *, nc: int, L: int, inv_step: float,
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(rgb, grid_t.astype(jnp.float32), brg.astype(jnp.float32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nc", "L", "inv_step", "bb_taps",
+                                    "cg", "cb", "chunk", "interpret"))
+def mf_step_planes(rgb, grid_t, brg, unary, f_gauss, q, g_norm, b_norm,
+                   b_self, *, nc: int, L: int, inv_step: float,
+                   bb_taps: tuple, cg: float, cb: float, chunk: int = 0,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Fused mean-field iteration tail (see ``_mf_step_kernel``).
+
+    rgb (Z,3,P); grid_t (Z,D,C) z-blurred; brg (C,C); unary/q (Z,L,P);
+    f_gauss (Z,L,P) = spatial-filtered (q * g_norm); g_norm/b_norm/b_self
+    (Z,1,P).  Returns Q_next (Z,L,P).
+    """
+    Z, _, P = rgb.shape
+    C = _c_pad(nc)
+    if not chunk:
+        # keep the (D, CHUNK) slice intermediate + elementwise blocks in VMEM
+        chunk = P
+        while nc * L * chunk * 4 > (6 << 20) and chunk % 2 == 0:
+            chunk //= 2
+    assert P % chunk == 0, (P, chunk)
+    lspec = pl.BlockSpec((1, L, chunk), lambda z, k: (z, 0, k),
+                         memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((1, 1, chunk), lambda z, k: (z, 0, k),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mf_step_kernel, nc=nc, L=L, inv_step=inv_step,
+                          bb_taps=bb_taps, cg=cg, cb=cb),
+        grid=(Z, P // chunk),
+        in_specs=[_rgb_spec(chunk),
+                  pl.BlockSpec((1, nc * L, C), lambda z, k: (z, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, C), lambda z, k: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  lspec, lspec, lspec, nspec, nspec, nspec],
+        out_specs=lspec,
+        out_shape=jax.ShapeDtypeStruct((Z, L, P), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(rgb, grid_t.astype(jnp.float32), brg.astype(jnp.float32),
+      unary, f_gauss, q, g_norm.astype(jnp.float32),
+      b_norm.astype(jnp.float32), b_self.astype(jnp.float32))
