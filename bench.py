@@ -3,8 +3,13 @@
 Baseline target (BASELINE.json): >=2000 images/sec on v5e-8 with CRF, i.e.
 250 img/s/chip.  ``vs_baseline`` is measured img/s/chip over 250.
 
-Prints exactly one JSON line:
+Prints one JSON line per stage (model-only, CRF-only) and the HEADLINE
+(model + 5-iteration dense-CRF) as the LAST line:
   {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N/250}
+
+Timing methodology: dispatches are queued asynchronously (device-side
+checksums chain nothing to the host) and fetched once at the end, so the
+axon tunnel round-trip (~25 ms) is excluded from the steady-state rate.
 """
 
 import json
@@ -17,10 +22,30 @@ import numpy as np
 
 # BENCH_NET=subpixel benchmarks the pixel-shuffle head variant
 NET = os.environ.get("BENCH_NET", "original")
-BATCH = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 WARMUP = 3
 ITERS = 20
 BASELINE_PER_CHIP = 2000.0 / 8.0  # v5e-8 target split per chip
+
+
+def timeit(fn, checksum, iters=ITERS):
+    """Queue ``iters`` async dispatches, force them with one final fetch."""
+    for _ in range(WARMUP):
+        np.asarray(checksum(fn()))
+    t0 = time.perf_counter()
+    sums = [checksum(fn()) for _ in range(iters)]
+    np.asarray(jnp.stack(sums)).sum()
+    return time.perf_counter() - t0
+
+
+def emit(name, ips):
+    print(json.dumps({
+        "metric": f"512x512 VOC {name} images/sec/chip"
+                  + ("" if NET == "original" else f" [{NET}]"),
+        "value": round(ips, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(ips / BASELINE_PER_CHIP, 3),
+    }))
 
 
 def main():
@@ -29,22 +54,30 @@ def main():
     model = SegNet((512, 512), 21, "mobilenetv2", NET)
     params, state = model.init(jax.random.key(0))
 
-    crf_params = None
+    crf_cfg = None
     try:
         from deeplab_tpu.crf import CrfConfig, mean_field_batched
-        # throughput config: color grid sampled at 2 sigma (tested >95%
-        # label agreement with the exact mean-field oracle)
-        crf_params = CrfConfig(color_step=2.0, splat_stride=2)
+        # throughput config: color grid at 2 sigma, splat subsampled 2x
+        # (99.66% MAP agreement with the exact mean-field oracle on a
+        # 21-label structured scene; see tests/test_crf*.py)
+        crf_cfg = CrfConfig(color_step=2.0, splat_stride=2)
     except Exception:
         mean_field_batched = None
 
     @jax.jit
-    def infer(params, state, img):
+    def model_only(params, state, img):
         probs, _ = model.apply(params, state, img, compute_dtype=jnp.bfloat16)
-        preds = jnp.argmax(
-            probs.reshape(img.shape[0], 512, 512, 21), axis=-1)
+        return jnp.argmax(probs.reshape(img.shape[0], 512, 512, 21), axis=-1)
+
+    @jax.jit
+    def crf_only(img, preds):
+        return mean_field_batched(img, preds, crf_cfg)
+
+    @jax.jit
+    def infer(params, state, img):
+        preds = model_only(params, state, img)
         if mean_field_batched is not None:
-            preds = mean_field_batched(img, preds, crf_params)
+            preds = mean_field_batched(img, preds, crf_cfg)
         return preds
 
     @jax.jit
@@ -54,25 +87,17 @@ def main():
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.rand(BATCH, 512, 512, 3) * 255, jnp.float32)
 
-    # block_until_ready is unreliable over the axon tunnel; force execution
-    # of every step with device-side checksums and one final host fetch.
-    for _ in range(WARMUP):
-        np.asarray(checksum(infer(params, state, img)))
+    t_model = timeit(lambda: model_only(params, state, img), checksum)
+    emit("inference (model only)", BATCH * ITERS / t_model)
 
-    t0 = time.perf_counter()
-    sums = [checksum(infer(params, state, img)) for _ in range(ITERS)]
-    np.asarray(jnp.stack(sums)).sum()
-    dt = time.perf_counter() - t0
+    if mean_field_batched is not None:
+        preds0 = model_only(params, state, img)
+        t_crf = timeit(lambda: crf_only(img, preds0), checksum)
+        emit("dense-CRF only (5 iters)", BATCH * ITERS / t_crf)
 
-    ips = BATCH * ITERS / dt
+    t_full = timeit(lambda: infer(params, state, img), checksum)
     crf_tag = "+CRF" if mean_field_batched is not None else ""
-    print(json.dumps({
-        "metric": f"512x512 VOC inference{crf_tag} images/sec/chip"
-                  + ("" if NET == "original" else f" [{NET}]"),
-        "value": round(ips, 2),
-        "unit": "img/s/chip",
-        "vs_baseline": round(ips / BASELINE_PER_CHIP, 3),
-    }))
+    emit(f"inference{crf_tag}", BATCH * ITERS / t_full)
 
 
 if __name__ == "__main__":

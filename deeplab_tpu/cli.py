@@ -130,6 +130,7 @@ def cmd_predict(args):
         bgr = resize_bilinear(_imread_bgr(path), (w, h)).astype(np.float32)
         probs = fwd(seg.params, seg.state, jnp.asarray(bgr[None]))
         pred = np.argmax(np.asarray(probs), -1)[0].reshape(h, w)
+        pred_raw = pred
         if args.crf and cfg.crf.enabled:
             from deeplab_tpu.crf import CrfConfig, do_crf
             crf_cfg = CrfConfig(
@@ -141,10 +142,18 @@ def cmd_predict(args):
                 n_iters=cfg.crf.n_iters)
             pred = do_crf(bgr, pred.astype(np.int32), zero_unsure=False,
                           cfg=crf_cfg)
-        out = os.path.join(args.out_dir,
-                           os.path.splitext(os.path.basename(path))[0]
-                           + "_mask.png")
+        stem = os.path.join(args.out_dir,
+                            os.path.splitext(os.path.basename(path))[0])
+        out = stem + "_mask.png"
         Image.fromarray(pred.astype(np.uint8), mode="L").save(out)
+        # cell-9 style visual artifacts: VOC-colorized mask + side-by-side
+        from deeplab_tpu.viz import colorize_mask, plot_predictions
+        Image.fromarray(colorize_mask(pred)).save(stem + "_color.png")
+        panels = [("prediction" + (" + CRF" if args.crf and cfg.crf.enabled
+                                   else ""), pred)]
+        if args.crf and cfg.crf.enabled:
+            panels.insert(0, ("prediction", pred_raw))
+        plot_predictions(bgr, panels, path=stem + "_viz.png")
         print(f"{path} -> {out} (classes: {sorted(set(pred.flat))})")
 
 

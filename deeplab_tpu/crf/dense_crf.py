@@ -339,6 +339,16 @@ class _PallasPlan:
                 .reshape(B, ch, ny * self.cs_y,
                          nx * self.cs_x))[:, :, :self.h, :self.w]
 
+    def uncells_v_wh(self, y, ch):
+        """(B*Z, ch, P) -> (B, ch, W, H) — the W-major orientation the
+        spatial filter wants first (see ``_sep_conv_bwh_to_bhw``); same
+        single 6D relayout as ``uncells_v``, different permutation."""
+        B, ny, nx = self.B, self.ny, self.nx
+        return (y.reshape(B, ny, nx, ch, self.cs_y, self.cs_x)
+                .transpose(0, 3, 2, 5, 1, 4)
+                .reshape(B, ch, nx * self.cs_x,
+                         ny * self.cs_y))[:, :, :self.w, :self.h]
+
     def subsample(self, x, ch):
         s = self.stride
         sub = x.reshape(-1, ch, self.cs_y, self.cs_x)[:, :, ::s, ::s]
@@ -346,10 +356,12 @@ class _PallasPlan:
 
     def z_blur(self, G):
         """Cross-cell spatial blur of the grid: (B*Z, D, C).  Flattened to
-        3D so the contraction is one batched (Z, Z) @ (Z, D*C) matmul with
-        no layout shuffles."""
+        3D and fed as an explicitly-batched matmul (S broadcast over B) so
+        XLA emits (B, Y, K) directly instead of a transposing dot."""
         BZ, D, C = G.shape
-        G = jnp.einsum("zy,bzk->byk", self.S.astype(G.dtype),
+        S_b = jnp.broadcast_to(self.S.astype(G.dtype),
+                               (self.B, self.Z, self.Z))
+        G = jnp.einsum("bzy,bzk->byk", S_b,
                        G.reshape(self.B, self.Z, D * C))
         return G.reshape(BZ, D, C)
 
@@ -383,15 +395,20 @@ class _PallasPlan:
         return jnp.prod(per_dim, axis=1, keepdims=True)  # (B*Z, 1, P)
 
 
-def _sep_conv_bhw(x, taps):
-    """Separable spatial filter over (B, L, H, W) in bf16 (the fast
-    per-iteration message path; normalizations stay f32 — see
-    ``_sep_conv_hw``).  Output stays bf16 — the consumer kernel upcasts."""
-    h, w = x.shape[2:]
+def _sep_conv_bwh_to_bhw(x, taps):
+    """Separable spatial filter: (B, L, W, H) bf16 in -> (B, L, H, W) out.
+
+    Both passes are merged right-multiplies ((B*L*W, H) @ (H, H) etc.) —
+    a transposing form like einsum('ih,blhw->bliw') makes XLA relayout the
+    whole tensor per pass (measured ~10x slower).  The one axis swap in
+    the middle is the only relayout; the band matrices are symmetric so
+    right-multiplication applies the same filter."""
+    b, l, w, h = x.shape
     th = _band_matrix(h, taps).astype(jnp.bfloat16)
     tw = _band_matrix(w, taps).astype(jnp.bfloat16)
-    y = jnp.einsum("ih,blhw->bliw", th, x.astype(jnp.bfloat16))
-    return jnp.einsum("jw,blhw->blhj", tw, y)
+    y = (x.astype(jnp.bfloat16).reshape(-1, h) @ th).reshape(b, l, w, h)
+    y = jnp.swapaxes(y, 2, 3)                        # (B, L, H, W)
+    return (y.reshape(-1, w) @ tw).reshape(b, l, h, w)
 
 
 def unary_planes(labels, n_labels: int, gt_prob: float,
@@ -449,8 +466,8 @@ def _mean_field_planes(plan: _PallasPlan, unary_c: jnp.ndarray,
     def body(Q):
         # spatial message: only the banded matmuls run in image layout;
         # self-exclusion + normalization happen inside the fused step kernel
-        f_gauss = plan.cells_v(_sep_conv_bhw(plan.uncells_v(Q * gn_b, L),
-                                             taps))
+        f_gauss = plan.cells_v(
+            _sep_conv_bwh_to_bhw(plan.uncells_v_wh(Q * gn_b, L), taps))
         # bilateral splat: Q*b_norm (and the pad mask) folded into the kernel
         if plan.stride > 1:
             G = splat_planes(plan.rgb_sub, plan.subsample(Q, L), sub_scale,

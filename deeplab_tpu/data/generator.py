@@ -307,3 +307,74 @@ class Prefetcher:
 
     def close(self):
         self._stop.set()
+
+
+def _mp_worker(gen, indices, q, seed):
+    """Worker process body: compute assigned batches, enqueue (idx, batch).
+    Reseeds numpy so forked workers don't replay identical augmentation
+    streams (the fork duplicates the parent's RNG state).
+
+    Batches are deep-copied BEFORE q.put: mp.Queue pickles lazily on a
+    feeder thread, so the generator's reused buffers could be overwritten
+    by a later __getitem__ before serialization."""
+    np.random.seed(seed)
+    random.seed(seed)
+    try:
+        for i in indices:
+            q.put((i, Prefetcher._copy_batch(gen[i])))
+    except KeyboardInterrupt:  # pragma: no cover
+        pass
+
+
+class MultiprocessPrefetcher:
+    """Ordered multi-process batch pipeline — the reference's
+    ``fit_generator(workers=cpu_count//2, use_multiprocessing=True)`` host
+    parallelism (utils.py:8-9,240).
+
+    Workers are forked fresh at the start of every iteration so they see
+    the generator's current epoch state (``on_epoch_end`` shuffles happen
+    in the parent).  Batches cross the process boundary by pickling, so
+    they are copies — no aliasing of the generator's internal buffers.
+    Workers touch only numpy/PIL; they never use jax.
+    """
+
+    def __init__(self, gen, workers: Optional[int] = None,
+                 max_queue_size: int = 10, seed: int = 0):
+        self.gen = gen
+        self.workers = workers or max((os.cpu_count() or 2) // 2, 1)
+        self.max_queue_size = max_queue_size
+        self.seed = seed
+        self._epoch = 0
+
+    def __iter__(self):
+        import multiprocessing as mp
+        n = len(self.gen)
+        w = max(1, min(self.workers, n))
+        ctx = mp.get_context("fork")
+        q = ctx.Queue(maxsize=self.max_queue_size)
+        procs = []
+        for wi in range(w):
+            p = ctx.Process(
+                target=_mp_worker,
+                args=(self.gen, range(wi, n, w), q,
+                      (self.seed + 977 * self._epoch + wi) % (2 ** 31)),
+                daemon=True)
+            p.start()
+            procs.append(p)
+        self._epoch += 1
+        try:
+            expected, buf = 0, {}
+            while expected < n:
+                idx, batch = q.get()
+                buf[idx] = batch
+                while expected in buf:
+                    yield buf.pop(expected)
+                    expected += 1
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+
+    def close(self):
+        pass

@@ -136,8 +136,14 @@ class SegModel:
 
     def train_generator(self, model, train_generator, valid_generator,
                         callbacks=None, mp=True, **train_kw):
-        """Reference utils.py:231-241 — delegates to the TPU trainer."""
+        """Reference utils.py:231-241 — delegates to the TPU trainer.
+        ``mp=True`` mirrors fit_generator's worker pool (utils.py:240:
+        workers=cpu_count//2, use_multiprocessing=True)."""
         from deeplab_tpu.train.trainer import Trainer
+        if mp and "workers" not in train_kw:
+            train_kw.setdefault("workers",
+                                max((os.cpu_count() or 2) // 2, 1))
+            train_kw.setdefault("use_multiprocessing", True)
         trainer = Trainer(model, epochs=self.epochs, callbacks=callbacks or [],
                           **train_kw)
         history = trainer.fit(self.params, self.state, train_generator,

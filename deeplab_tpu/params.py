@@ -70,18 +70,89 @@ def _canonical_layer(lname: str, params: Params, state: State) -> str:
     return lname
 
 
+def _iter_keras3_layers(f):
+    """Yield (layer_name, [arrays in save order]) from a Keras 3
+    ``.weights.h5`` (layout: ``layers/<class>/vars/{0..N}`` with the layer
+    name as an attr on the ``vars`` group)."""
+    import h5py
+
+    def walk(group):
+        for key in group:
+            item = group[key]
+            if not isinstance(item, h5py.Group):
+                continue
+            if key == "vars":
+                name = item.attrs.get("name", "")
+                if isinstance(name, bytes):
+                    name = name.decode()
+                arrays = [np.asarray(item[k])
+                          for k in sorted(item, key=lambda s: int(s))]
+                if arrays and name:
+                    yield name, arrays
+            else:
+                yield from walk(item)
+
+    yield from walk(f)
+
+
+def _assign_positional(tgt, arrays, new_params, new_state) -> int:
+    """Map a Keras-3 positional weight list onto our named slots using the
+    layer's structure (Keras save order: conv [kernel, bias]; depthwise
+    [depthwise_kernel, bias]; BN [gamma, beta, moving_mean, moving_var])."""
+    p = new_params.get(tgt, {})
+    if "gamma" in p:
+        names, trees = (["gamma", "beta", "moving_mean", "moving_variance"],
+                        [new_params, new_params, new_state, new_state])
+    elif "depthwise_kernel" in p:
+        names, trees = ["depthwise_kernel", "bias"], [new_params] * 2
+    elif "kernel" in p:
+        names, trees = ["kernel", "bias"], [new_params] * 2
+    else:
+        return 0
+    n = 0
+    for arr, vname, tree in zip(arrays, names, trees):
+        slot = tree[tgt]
+        if vname not in slot:
+            continue
+        if tuple(slot[vname].shape) != tuple(arr.shape):
+            raise ValueError(f"shape mismatch {tgt}/{vname}: model "
+                             f"{tuple(slot[vname].shape)} vs {arr.shape}")
+        slot[vname] = jnp.asarray(arr, dtype=slot[vname].dtype)
+        n += 1
+    return n
+
+
+def _is_keras3_layout(f) -> bool:
+    return ("layers" in f and "layer_names" not in f.attrs
+            and "model_weights" not in f)
+
+
 def load_keras_h5(path: str, params: Params, state: State,
                   strict: bool = False) -> Tuple[Params, State]:
     """Load a Keras weights file onto (params, state) by layer name.
 
     Mirrors Keras ``load_weights(by_name=True)``: file layers not present in
-    the model are skipped (unless ``strict``).  Returns new trees.
+    the model are skipped (unless ``strict``).  Returns new trees.  Both the
+    legacy Keras-2 HDF5 layout (what the reference shipped,
+    deeplabv3p.py:465) and the Keras-3 ``.weights.h5`` layout are detected.
     """
     import h5py
     new_params = {k: dict(v) for k, v in params.items()}
     new_state = {k: dict(v) for k, v in state.items()}
     n_loaded = 0
     with h5py.File(path, "r") as f:
+        if _is_keras3_layout(f):
+            for lname, arrays in _iter_keras3_layers(f):
+                tgt = _canonical_layer(lname, params, state)
+                if tgt not in new_params and tgt not in new_state:
+                    if strict:
+                        raise KeyError(f"h5 layer {lname!r} not in model")
+                    continue
+                n_loaded += _assign_positional(tgt, arrays, new_params,
+                                               new_state)
+            if n_loaded == 0:
+                raise ValueError(f"no weights matched model in {path}")
+            return new_params, new_state
         for lname, vars_ in _iter_h5_layers(f):
             tgt = _canonical_layer(lname, params, state)
             known = tgt in new_params or tgt in new_state

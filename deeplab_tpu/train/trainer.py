@@ -28,7 +28,8 @@ class Trainer:
                  lr: float = 7e-4, epsilon: float = 1e-8, decay: float = 1e-6,
                  freeze_before: Optional[str] = None, mesh=None, seed: int = 0,
                  verbose: int = 1, spatial: bool = False,
-                 compute_dtype=None, remat: bool = False):
+                 compute_dtype=None, remat: bool = False,
+                 workers: int = 1, use_multiprocessing: bool = False):
         self.model = model
         self.epochs = epochs
         self.callbacks = list(callbacks)
@@ -49,6 +50,13 @@ class Trainer:
         # memory (large batches / big images).
         self.remat = remat
         self.seed = seed
+        # Host data pipeline (reference fit_generator semantics,
+        # utils.py:240: workers=cpu_count//2, use_multiprocessing=True):
+        # workers=0 loads batches synchronously in the step loop; workers=1
+        # prefetches on a background thread; workers>1 with
+        # use_multiprocessing forks an ordered worker pool.
+        self.workers = workers
+        self.use_multiprocessing = use_multiprocessing
         self.verbose = verbose
         self.stop_training = False
         self.params = None
@@ -121,6 +129,24 @@ class Trainer:
 
     # --------------------------------------------------------------- fit ----
 
+    def _batches(self, gen):
+        """Iterate a generator's batches through the configured host
+        pipeline so augmentation overlaps the device step."""
+        if self.workers > 1 and self.use_multiprocessing:
+            from deeplab_tpu.data.generator import MultiprocessPrefetcher
+            yield from MultiprocessPrefetcher(gen, workers=self.workers,
+                                              seed=self.seed)
+        elif self.workers >= 1:
+            from deeplab_tpu.data.generator import Prefetcher
+            pf = Prefetcher(gen)
+            try:
+                yield from pf
+            finally:
+                pf.close()
+        else:
+            for i in range(len(gen)):
+                yield gen[i]
+
     def fit(self, params, state, train_gen, valid_gen=None, initial_epoch=0,
             state_checkpoint: Optional[str] = None,
             resume_from: Optional[str] = None):
@@ -179,8 +205,7 @@ class Trainer:
         for epoch in range(initial_epoch, self.epochs):
             t0 = time.time()
             sums, n_batches = {}, 0
-            for i in range(len(train_gen)):
-                X, Y, sw_dict = train_gen[i]
+            for X, Y, sw_dict in self._batches(train_gen):
                 SW = sw_dict["pred_mask"] if isinstance(sw_dict, dict) else sw_dict
                 X = jax.device_put(jnp.asarray(X), img_sh)
                 Y = jax.device_put(jnp.asarray(Y), data_sh)
@@ -199,8 +224,7 @@ class Trainer:
 
             if valid_gen is not None:
                 vsums, vn = {}, 0
-                for i in range(len(valid_gen)):
-                    X, Y, sw_dict = valid_gen[i]
+                for X, Y, sw_dict in self._batches(valid_gen):
                     SW = (sw_dict["pred_mask"] if isinstance(sw_dict, dict)
                           else sw_dict)
                     X = jax.device_put(jnp.asarray(X), img_sh)

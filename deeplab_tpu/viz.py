@@ -76,3 +76,60 @@ def calculate_iou(net, params, state, generator, nb_classes: int = 21,
     iou = iou_from_confusion(conf)
     mean_iou = mean_iou_published(conf)
     return np.asarray(conf), np.asarray(iou), float(mean_iou)
+
+
+# ---------------------------------------------------------- cell-9 figures --
+
+def voc_palette(n: int = 256) -> np.ndarray:
+    """The PASCAL VOC devkit color map ((n, 3) uint8) — the palette behind
+    the reference's example figures (examples/exp1-4.JPG), generated with
+    the devkit's bit-shuffle algorithm."""
+    palette = np.zeros((n, 3), np.uint8)
+    for i in range(n):
+        lbl = i
+        r = g = b = 0
+        for j in range(8):
+            r |= ((lbl >> 0) & 1) << (7 - j)
+            g |= ((lbl >> 1) & 1) << (7 - j)
+            b |= ((lbl >> 2) & 1) << (7 - j)
+            lbl >>= 3
+        palette[i] = (r, g, b)
+    return palette
+
+
+def colorize_mask(mask: np.ndarray, palette: np.ndarray = None) -> np.ndarray:
+    """(H, W) int class-id mask -> (H, W, 3) uint8 VOC-colored image."""
+    if palette is None:
+        palette = voc_palette()
+    return palette[np.asarray(mask).astype(np.int64) % len(palette)]
+
+
+def plot_predictions(image_bgr, panels, path=None, figsize_per_panel=4):
+    """Notebook cell-9 side-by-side figure: the input image followed by
+    titled masks (e.g. GT / prediction / prediction + CRF), VOC-colorized.
+
+    image_bgr: (H, W, 3) 0-255 BGR (the pipeline's image contract);
+    panels: list of (title, mask) with (H, W) int masks.
+    Writes a PNG when ``path`` is given; returns the figure.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = 1 + len(panels)
+    fig, axes = plt.subplots(1, n, figsize=(figsize_per_panel * n,
+                                            figsize_per_panel))
+    axes = np.atleast_1d(axes)
+    rgb = np.asarray(image_bgr).astype(np.uint8)[..., ::-1]
+    axes[0].imshow(rgb)
+    axes[0].set_title("image")
+    for ax, (title, mask) in zip(axes[1:], panels):
+        ax.imshow(colorize_mask(mask))
+        ax.set_title(title)
+    for ax in axes:
+        ax.axis("off")
+    fig.tight_layout()
+    if path is not None:
+        fig.savefig(path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+    return fig

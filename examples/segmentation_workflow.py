@@ -108,6 +108,14 @@ def main():
     MAP = do_crf(x[0], preds.astype("int32"), zero_unsure=False)
     print("sample mIOU (+CRF):  ", mIOU(gt, MAP))
 
+    # ---- cell 9: side-by-side image / GT / prediction / +CRF figure ----
+    from deeplab_tpu.viz import plot_predictions
+    fig_path = os.path.join(os.path.dirname(SegClass.modelpath) or ".",
+                            "sample_prediction.png")
+    plot_predictions(x[0], [("ground truth", gt), ("prediction", preds),
+                            ("prediction + CRF", MAP)], path=fig_path)
+    print("wrote", fig_path)
+
     # ---- cells 10-11: dataset confusion-matrix IoU ----
     SegClass.set_batch_size(1)
     eval_gen = SegClass.create_generators(

@@ -83,3 +83,23 @@ def test_pretrained_pascal_voc_local_cache(tmp_path, monkeypatch):
     monkeypatch.setenv("DEEPLAB_TPU_WEIGHTS_DIR", str(tmp_path / "nope"))
     with pytest.raises(FileNotFoundError):
         m2.init(jax.random.key(1))
+
+
+def test_voc_palette_colorize_and_figure(tmp_path):
+    """Cell-9 visualization parity (reference examples/exp1-4.JPG)."""
+    import numpy as np
+    from deeplab_tpu.viz import colorize_mask, plot_predictions, voc_palette
+
+    p = voc_palette()
+    # devkit constants: background, aeroplane, person
+    assert tuple(p[0]) == (0, 0, 0)
+    assert tuple(p[1]) == (128, 0, 0)
+    assert tuple(p[15]) == (192, 128, 128)
+    mask = np.random.RandomState(0).randint(0, 21, (16, 16))
+    rgb = colorize_mask(mask)
+    assert rgb.shape == (16, 16, 3) and rgb.dtype == np.uint8
+    img = np.random.RandomState(1).rand(16, 16, 3) * 255
+    out = str(tmp_path / "fig.png")
+    plot_predictions(img, [("GT", mask), ("pred", mask)], path=out)
+    import os
+    assert os.path.getsize(out) > 1000
