@@ -290,8 +290,14 @@ class _PallasPlan:
         # uncells_v reshape through 80-lane (1.6x padded) tiles — measured
         # costlier per iteration than the filter kernels themselves.  The
         # coarser x quantization (<= 1.6 sigma grid step, Gaussian-blurred)
-        # is the same approximation class as color_step=2.
+        # is the same approximation class as color_step=2.  The y cell
+        # height prefers a divisor of H within [sxy/2, sxy]: no pad rows to
+        # copy each iteration and a FINER (<= 1 sigma) y quantization.
         self.cs_y = cs
+        for d in range(cs, max(cs // 2, 1) - 1, -1):
+            if h % d == 0:
+                self.cs_y = d
+                break
         self.cs_x = 128 if cs >= 80 else cs
         srgb_grid = srgb * color_step
         self.nc = nc = int(math.floor(255.0 / srgb_grid)) + 2
@@ -386,7 +392,7 @@ class _PallasPlan:
     def self_weight(self):
         """Closed-form per-pixel self-weight, (B*Z, 1, P) — the cell-plane
         version of ``bilateral_self_weight``."""
-        coords = self.rgb * self.inv_step                # (B*Z, 3, P)
+        coords = self.rgb.astype(jnp.float32) * self.inv_step  # (B*Z, 3, P)
         frac = coords - jnp.floor(coords)
         s0, s1 = 1.0 - frac, frac
         taps = self.bb_taps
@@ -463,11 +469,12 @@ def _mean_field_planes(plan: _PallasPlan, unary_c: jnp.ndarray,
     else:
         sub_scale = b_scale
 
-    def body(Q):
+    def body(Q, A):
         # spatial message: only the banded matmuls run in image layout;
+        # A = Q * g_norm arrives pre-multiplied from the step kernel;
         # self-exclusion + normalization happen inside the fused step kernel
         f_gauss = plan.cells_v(
-            _sep_conv_bwh_to_bhw(plan.uncells_v_wh(Q * gn_b, L), taps))
+            _sep_conv_bwh_to_bhw(plan.uncells_v_wh(A, L), taps))
         # bilateral splat: Q*b_norm (and the pad mask) folded into the kernel
         if plan.stride > 1:
             G = splat_planes(plan.rgb_sub, plan.subsample(Q, L), sub_scale,
@@ -477,21 +484,21 @@ def _mean_field_planes(plan: _PallasPlan, unary_c: jnp.ndarray,
             G = splat_planes(plan.rgb, Q, sub_scale, nc=plan.nc, L=L,
                              inv_step=plan.inv_step,
                              interpret=plan.interpret)
-        G = plan.z_blur(G)
+        G = plan.z_blur(G.astype(bf))  # half-width grid through blur+slice
         # fused: color blurs + slice + messages + compatibilities + softmax
-        Q_next = mf_step_planes(
+        return mf_step_planes(
             plan.rgb, G, plan.Brg, unary_b, f_gauss, Q, gn_c, b_norm,
             b_self, nc=plan.nc, L=L, inv_step=plan.inv_step,
             bb_taps=plan.bb_taps, cg=float(cfg.compat_gaussian),
             cb=float(cfg.compat_bilateral), interpret=plan.interpret)
-        return Q_next
 
     # static unroll: a lax.scan carry of the (B*Z, L, P) state inserts
     # whole-state copies at every iteration boundary (profiled as ~15% of
     # device time); n_iters is small and static
     Q = jax.nn.softmax(-unary_c, axis=1).astype(bf)
+    A = Q * gn_b
     for _ in range(cfg.n_iters):
-        Q = body(Q)
+        Q, A = body(Q, A)
     return Q.astype(jnp.float32)
 
 

@@ -56,7 +56,9 @@ def pallas_available() -> bool:
 
 
 def _base_frac(plane, inv_step: float):
-    coords = plane * inv_step
+    # rgb planes may be stored bf16 (exact for 8-bit image values); the
+    # grid coordinates are always computed in f32
+    coords = plane.astype(jnp.float32) * inv_step
     base = jnp.floor(coords)
     return base.astype(jnp.int32), coords - base
 
@@ -123,8 +125,10 @@ def _slice_kernel(rgb_ref, g_ref, brg_ref, out_ref, *, nc, L, inv_step,
 
 def _blur_slice(g_ref, brg_ref, rgb_ref, *, nc, L, inv_step, bb_taps):
     """Shared slice body: fused color blur of the cell grid + slice.
-    Returns the filtered values (L, CHUNK) f32."""
-    g = jnp.dot(g_ref[0], brg_ref[:],
+    Returns the filtered values (L, CHUNK) f32.  The grid may arrive bf16
+    (the splat accumulated f32; the z-blur ships it back at half width)."""
+    g = jnp.dot(g_ref[0].astype(jnp.bfloat16),
+                brg_ref[:].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)               # (D, C)
     radius = len(bb_taps) // 2
     pieces = []
@@ -149,11 +153,13 @@ def _blur_slice(g_ref, brg_ref, rgb_ref, *, nc, L, inv_step, bb_taps):
 
 
 def _mf_step_kernel(rgb_ref, g_ref, brg_ref, u_ref, fg_ref, q_ref, gn_ref,
-                    bn_ref, bs_ref, out_ref, *, nc, L, inv_step, bb_taps,
-                    cg, cb):
+                    bn_ref, bs_ref, out_ref, out_a_ref, *, nc, L, inv_step,
+                    bb_taps, cg, cb):
     """Fused mean-field iteration tail: slice + both message normalizations
     + compatibility combine + softmax -> Q_next.  One HBM write per
-    iteration instead of five round-trips through XLA elementwise."""
+    iteration instead of five round-trips through XLA elementwise.  Also
+    emits A = Q_next * g_norm — the next iteration's spatial-filter input —
+    saving that elementwise pass too."""
     filt = _blur_slice(g_ref, brg_ref, rgb_ref, nc=nc, L=L,
                        inv_step=inv_step, bb_taps=bb_taps)
     # inputs may be stored bf16 (HBM traffic); all arithmetic in f32
@@ -167,8 +173,9 @@ def _mf_step_kernel(rgb_ref, g_ref, brg_ref, u_ref, fg_ref, q_ref, gn_ref,
     logits = -u_ref[0].astype(jnp.float32) + cg * msg_g + cb * msg_b
     mx = jnp.max(logits, axis=0, keepdims=True)
     e = jnp.exp(logits - mx)
-    out_ref[0] = (e / jnp.sum(e, axis=0, keepdims=True)).astype(
-        out_ref.dtype)
+    q_next = e / jnp.sum(e, axis=0, keepdims=True)
+    out_ref[0] = q_next.astype(out_ref.dtype)
+    out_a_ref[0] = (q_next * gn).astype(out_a_ref.dtype)
 
 
 def _rgb_spec(chunk):
@@ -250,9 +257,10 @@ def mf_step_planes(rgb, grid_t, brg, unary, f_gauss, q, g_norm, b_norm,
                    interpret: bool = False) -> jnp.ndarray:
     """Fused mean-field iteration tail (see ``_mf_step_kernel``).
 
-    rgb (Z,3,P); grid_t (Z,D,C) z-blurred; brg (C,C); unary/q (Z,L,P);
-    f_gauss (Z,L,P) = spatial-filtered (q * g_norm); g_norm/b_norm/b_self
-    (Z,1,P).  Returns Q_next (Z,L,P).
+    rgb (Z,3,P); grid_t (Z,D,C) z-blurred (f32 or bf16); brg (C,C);
+    unary/q (Z,L,P); f_gauss (Z,L,P) = spatial-filtered (q * g_norm);
+    g_norm/b_norm/b_self (Z,1,P).  Returns (Q_next, Q_next * g_norm),
+    both (Z,L,P) in q's dtype.
     """
     Z, _, P = rgb.shape
     C = _c_pad(nc)
@@ -276,11 +284,12 @@ def mf_step_planes(rgb, grid_t, brg, unary, f_gauss, q, g_norm, b_norm,
                   pl.BlockSpec((C, C), lambda z, k: (0, 0),
                                memory_space=pltpu.VMEM),
                   lspec, lspec, lspec, nspec, nspec, nspec],
-        out_specs=lspec,
-        out_shape=jax.ShapeDtypeStruct((Z, L, P), q.dtype),
+        out_specs=(lspec, lspec),
+        out_shape=(jax.ShapeDtypeStruct((Z, L, P), q.dtype),
+                   jax.ShapeDtypeStruct((Z, L, P), q.dtype)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(rgb, grid_t.astype(jnp.float32), brg.astype(jnp.float32),
+    )(rgb, grid_t, brg.astype(jnp.float32),
       unary, f_gauss, q, g_norm.astype(jnp.float32),
       b_norm.astype(jnp.float32), b_self.astype(jnp.float32))

@@ -1,0 +1,55 @@
+"""CRF quality anchored to committed exact-oracle goldens (VERDICT r1 #4).
+
+The goldens (tests/goldens/crf/*.npz) are MAP outputs of the exact O(N^2)
+mean field (crf/brute.py — published densecrf conventions: symmetric
+normalization, self-excluded, 5 iterations, reference utils.py:74-91
+parameters) on deterministic structured scenes, including 21-label 96x96 /
+128x128 and a wide 64x256 case that exercises the TPU path's anisotropic
+cells.  Regenerate with tools/make_crf_goldens.py.
+
+Both backends must reproduce the oracle MAP on >= 97% of pixels at the
+accurate config, and >= 96% at the throughput config (color_step=2,
+splat_stride=2 — the bench headline setting).
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from crf_scenes import SCENES, make_scene
+from deeplab_tpu.crf.dense_crf import CrfConfig, mean_field_batched
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "goldens", "crf")
+
+
+def _golden(name):
+    return np.load(os.path.join(GOLDEN_DIR, name + ".npz"))["golden"]
+
+
+@pytest.mark.parametrize("scene", SCENES, ids=[s[0] for s in SCENES])
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_backends_match_oracle(scene, backend):
+    name, H, W, L, seed = scene
+    golden = _golden(name)
+    im, mask = make_scene(H, W, L, seed)
+    imj, mj = jnp.asarray(im)[None], jnp.asarray(mask)[None]
+    out = np.asarray(mean_field_batched(
+        imj, mj, CrfConfig(backend=backend), L))[0]
+    agree = np.mean(out == golden)
+    assert agree >= 0.97, (name, backend, agree)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_throughput_config_matches_oracle(backend):
+    """The bench headline config (color_step=2, splat_stride=2)."""
+    name, H, W, L, seed = SCENES[1]  # 96x96, 21 labels
+    golden = _golden(name)
+    im, mask = make_scene(H, W, L, seed)
+    out = np.asarray(mean_field_batched(
+        jnp.asarray(im)[None], jnp.asarray(mask)[None],
+        CrfConfig(color_step=2.0, splat_stride=2, backend=backend), L))[0]
+    agree = np.mean(out == golden)
+    assert agree >= 0.96, (backend, agree)
