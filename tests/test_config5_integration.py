@@ -2,6 +2,7 @@
 data-parallel fine-tuning on Cityscapes — one end-to-end step on the
 8-virtual-device mesh."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,7 @@ class XceptionOS8Net:
                                 compute_dtype=compute_dtype or jnp.float32)
 
 
+@pytest.mark.slow
 def test_xception_os8_cityscapes_multichip_step(city_dir):  # noqa: F811
     from deeplab_tpu.data.cityscapes import CityscapesGenerator
 

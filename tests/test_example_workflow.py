@@ -30,12 +30,17 @@ def voc_dir(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_example_workflow_runs(voc_dir, tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # share the suite's persistent compile cache with the subprocess
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(repo, ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "examples",
                                       "segmentation_workflow.py"),

@@ -69,6 +69,7 @@ def test_xception_seg_model_subpixel_scale4():
     assert probs.shape == (1, SZ * SZ, 21)
 
 
+@pytest.mark.slow
 def test_xception_train_step():
     """One jitted training step on xception updates the unfrozen tail only."""
     from deeplab_tpu.train.trainer import Trainer
