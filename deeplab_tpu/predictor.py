@@ -39,23 +39,44 @@ class Predictor:
         h, w = net.sz
         self._hw = (h, w)
 
-        def pipeline(params, state, img):
+        def model_preds(params, state, img):
             probs, _ = net.apply(params, state, img,
                                  compute_dtype=compute_dtype)
-            preds = jnp.argmax(
+            return jnp.argmax(
                 probs.reshape(img.shape[0], h, w, self.n_classes), axis=-1)
+
+        def pipeline(params, state, img):
+            preds = model_preds(params, state, img)
             if crf is not None:
                 preds = mean_field_batched(img, preds, crf, self.n_classes)
             return preds
 
         if mesh is not None:
+            from jax.sharding import PartitionSpec as P
             from deeplab_tpu.parallel.mesh import (data_sharding,
                                                    replicated_sharding)
             repl = replicated_sharding(mesh)
             data = data_sharding(mesh)
             self.params = jax.device_put(params, repl)
             self.state = jax.device_put(state, repl)
-            self._fn = jax.jit(pipeline, in_shardings=(repl, repl, data),
+
+            def sharded_pipeline(params, state, img):
+                preds = model_preds(params, state, img)
+                if crf is not None:
+                    # The CRF is embarrassingly data-parallel and its Pallas
+                    # kernels have no SPMD partitioning rule — run it
+                    # per-device on local batch shards via shard_map (the
+                    # model stays under XLA's SPMD partitioner).
+                    spec = P("data")
+                    preds = jax.shard_map(
+                        lambda im, pr: mean_field_batched(
+                            im, pr, crf, self.n_classes),
+                        mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+                        check_vma=False)(img, preds)
+                return preds
+
+            self._fn = jax.jit(sharded_pipeline,
+                               in_shardings=(repl, repl, data),
                                out_shardings=data)
         else:
             self._fn = jax.jit(pipeline)

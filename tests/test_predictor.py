@@ -42,3 +42,32 @@ def test_predictor_sharded_matches_unsharded():
     p8 = Predictor(net, params, state, crf=None,
                    mesh=get_mesh(jax.devices()[:8]))
     np.testing.assert_array_equal(p1(imgs), p8(imgs))
+
+
+def test_predictor_sharded_crf_matches_unsharded():
+    """CRF post-processing under multi-chip sharding: the CRF runs
+    per-device on local shards via shard_map (its Pallas kernels have no
+    SPMD partitioning rule), and must match the single-device pipeline."""
+    from deeplab_tpu.crf import CrfConfig
+    net, params, state = _net_and_weights()
+    imgs = np.random.RandomState(3).rand(8, SZ, SZ, 3) * 255
+    cfg = CrfConfig(sxy_bilateral=16.0, n_iters=2, backend="xla")
+    p1 = Predictor(net, params, state, crf=cfg)
+    p8 = Predictor(net, params, state, crf=cfg,
+                   mesh=get_mesh(jax.devices()[:8]))
+    a, b = p1(imgs), p8(imgs)
+    assert (a == b).mean() > 0.999, (a == b).mean()
+
+
+def test_predictor_sharded_crf_pallas_interpret():
+    """The pallas backend also runs under shard_map (interpret mode on
+    CPU; on TPU the same plumbing dispatches the fused kernels per chip)."""
+    from deeplab_tpu.crf import CrfConfig
+    net, params, state = _net_and_weights()
+    imgs = np.random.RandomState(4).rand(8, SZ, SZ, 3) * 255
+    cfg = CrfConfig(sxy_bilateral=16.0, n_iters=1, backend="pallas")
+    p8 = Predictor(net, params, state, crf=cfg,
+                   mesh=get_mesh(jax.devices()[:8]))
+    out = p8(imgs)
+    assert out.shape == (8, SZ, SZ)
+    assert set(np.unique(out)) <= set(range(21))
