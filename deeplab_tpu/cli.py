@@ -147,13 +147,17 @@ def cmd_predict(args):
         out = stem + "_mask.png"
         Image.fromarray(pred.astype(np.uint8), mode="L").save(out)
         # cell-9 style visual artifacts: VOC-colorized mask + side-by-side
-        from deeplab_tpu.viz import colorize_mask, plot_predictions
+        from deeplab_tpu.viz import colorize_mask
         Image.fromarray(colorize_mask(pred)).save(stem + "_color.png")
-        panels = [("prediction" + (" + CRF" if args.crf and cfg.crf.enabled
-                                   else ""), pred)]
-        if args.crf and cfg.crf.enabled:
-            panels.insert(0, ("prediction", pred_raw))
-        plot_predictions(bgr, panels, path=stem + "_viz.png")
+        try:  # the figure needs matplotlib (optional 'viz' extra)
+            from deeplab_tpu.viz import plot_predictions
+            panels = [("prediction" + (" + CRF" if args.crf
+                                       and cfg.crf.enabled else ""), pred)]
+            if args.crf and cfg.crf.enabled:
+                panels.insert(0, ("prediction", pred_raw))
+            plot_predictions(bgr, panels, path=stem + "_viz.png")
+        except ImportError:
+            print("note: matplotlib not installed; skipping _viz.png")
         print(f"{path} -> {out} (classes: {sorted(set(pred.flat))})")
 
 

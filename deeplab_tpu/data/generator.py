@@ -243,6 +243,14 @@ class ArrayBatcher:
         pass
 
 
+class _PipelineError:
+    """Exception carrier enqueued by pipeline workers so consumer loops
+    raise instead of blocking forever on a dead producer."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 class Prefetcher:
     """Background-thread prefetch queue over a generator — the TPU-side
     replacement for Keras fit_generator's worker pool (utils.py:231-241).
@@ -281,11 +289,15 @@ class Prefetcher:
         return False
 
     def _worker(self, q, stop, indices):
-        for i in indices:
-            if stop.is_set():
-                return
-            if not self._put(q, stop, self._copy_batch(self.gen[i])):
-                return
+        try:
+            for i in indices:
+                if stop.is_set():
+                    return
+                if not self._put(q, stop, self._copy_batch(self.gen[i])):
+                    return
+        except BaseException as e:  # propagate to the consumer
+            self._put(q, stop, _PipelineError(e))
+            return
         self._put(q, stop, None)
 
     def __iter__(self):
@@ -303,6 +315,9 @@ class Prefetcher:
             item = self.q.get()
             if item is None:
                 return
+            if isinstance(item, _PipelineError):
+                raise RuntimeError(
+                    "data pipeline worker failed") from item.exc
             yield item
 
     def close(self):
@@ -310,9 +325,10 @@ class Prefetcher:
 
 
 def _mp_worker(gen, indices, q, seed):
-    """Worker process body: compute assigned batches, enqueue (idx, batch).
-    Reseeds numpy so forked workers don't replay identical augmentation
-    streams (the fork duplicates the parent's RNG state).
+    """Worker process body: compute assigned batches, enqueue them in order
+    on the worker's own queue.  Reseeds numpy so forked workers don't
+    replay identical augmentation streams (the fork duplicates the parent's
+    RNG state).
 
     Batches are deep-copied BEFORE q.put: mp.Queue pickles lazily on a
     feeder thread, so the generator's reused buffers could be overwritten
@@ -321,9 +337,12 @@ def _mp_worker(gen, indices, q, seed):
     random.seed(seed)
     try:
         for i in indices:
-            q.put((i, Prefetcher._copy_batch(gen[i])))
+            q.put(Prefetcher._copy_batch(gen[i]))
     except KeyboardInterrupt:  # pragma: no cover
         pass
+    except BaseException:  # propagate to the consumer
+        import traceback
+        q.put(_PipelineError(RuntimeError(traceback.format_exc())))
 
 
 class MultiprocessPrefetcher:
@@ -331,11 +350,18 @@ class MultiprocessPrefetcher:
     ``fit_generator(workers=cpu_count//2, use_multiprocessing=True)`` host
     parallelism (utils.py:8-9,240).
 
+    Each worker owns batch indices ``w, w+W, w+2W, ...`` and its own
+    bounded queue; the consumer reads queue ``i % W`` for batch ``i``, so
+    output is ordered by construction, backpressure is per-worker (no
+    unbounded reorder buffer), and a dead worker is detected instead of
+    hanging the training loop.
+
     Workers are forked fresh at the start of every iteration so they see
     the generator's current epoch state (``on_epoch_end`` shuffles happen
-    in the parent).  Batches cross the process boundary by pickling, so
-    they are copies — no aliasing of the generator's internal buffers.
-    Workers touch only numpy/PIL; they never use jax.
+    in the parent) and get fresh epoch-dependent RNG seeds.  Batches cross
+    the process boundary by pickling, so they are copies — no aliasing of
+    the generator's internal buffers.  Workers touch only numpy/PIL; they
+    never use jax.
     """
 
     def __init__(self, gen, workers: Optional[int] = None,
@@ -351,25 +377,35 @@ class MultiprocessPrefetcher:
         n = len(self.gen)
         w = max(1, min(self.workers, n))
         ctx = mp.get_context("fork")
-        q = ctx.Queue(maxsize=self.max_queue_size)
-        procs = []
+        per_q = max(1, self.max_queue_size // w)
+        queues, procs = [], []
         for wi in range(w):
+            q = ctx.Queue(maxsize=per_q)
             p = ctx.Process(
                 target=_mp_worker,
                 args=(self.gen, range(wi, n, w), q,
                       (self.seed + 977 * self._epoch + wi) % (2 ** 31)),
                 daemon=True)
             p.start()
+            queues.append(q)
             procs.append(p)
         self._epoch += 1
         try:
-            expected, buf = 0, {}
-            while expected < n:
-                idx, batch = q.get()
-                buf[idx] = batch
-                while expected in buf:
-                    yield buf.pop(expected)
-                    expected += 1
+            for i in range(n):
+                q, p = queues[i % w], procs[i % w]
+                while True:
+                    try:
+                        item = q.get(timeout=5.0)
+                        break
+                    except Exception:
+                        if not p.is_alive() and q.empty():
+                            raise RuntimeError(
+                                f"data pipeline worker {i % w} died "
+                                f"(exitcode {p.exitcode})") from None
+                if isinstance(item, _PipelineError):
+                    raise RuntimeError(
+                        "data pipeline worker failed") from item.exc
+                yield item
         finally:
             for p in procs:
                 p.terminate()

@@ -140,7 +140,7 @@ class SegModel:
         ``mp=True`` mirrors fit_generator's worker pool (utils.py:240:
         workers=cpu_count//2, use_multiprocessing=True)."""
         from deeplab_tpu.train.trainer import Trainer
-        if mp and "workers" not in train_kw:
+        if mp:
             train_kw.setdefault("workers",
                                 max((os.cpu_count() or 2) // 2, 1))
             train_kw.setdefault("use_multiprocessing", True)

@@ -129,23 +129,23 @@ class Trainer:
 
     # --------------------------------------------------------------- fit ----
 
-    def _batches(self, gen):
-        """Iterate a generator's batches through the configured host
-        pipeline so augmentation overlaps the device step."""
+    def _make_pipeline(self, gen):
+        """Build the (re-iterable, one per fit) host pipeline over a
+        generator so augmentation overlaps the device step.  Built once so
+        the multiprocess pipeline's per-epoch worker reseed advances."""
         if self.workers > 1 and self.use_multiprocessing:
             from deeplab_tpu.data.generator import MultiprocessPrefetcher
-            yield from MultiprocessPrefetcher(gen, workers=self.workers,
-                                              seed=self.seed)
-        elif self.workers >= 1:
+            return MultiprocessPrefetcher(gen, workers=self.workers,
+                                          seed=self.seed)
+        if self.workers >= 1:
             from deeplab_tpu.data.generator import Prefetcher
-            pf = Prefetcher(gen)
-            try:
-                yield from pf
-            finally:
-                pf.close()
-        else:
-            for i in range(len(gen)):
-                yield gen[i]
+            return Prefetcher(gen)
+
+        class _Sync:
+            def __iter__(_s):
+                for i in range(len(gen)):
+                    yield gen[i]
+        return _Sync()
 
     def fit(self, params, state, train_gen, valid_gen=None, initial_epoch=0,
             state_checkpoint: Optional[str] = None,
@@ -201,11 +201,14 @@ class Trainer:
                             "val_sparse_accuracy": []})
         data_sh = data_sharding(self.mesh)
         img_sh = data_sharding(self.mesh, spatial=self.spatial)
+        train_pipe = self._make_pipeline(train_gen)
+        valid_pipe = (self._make_pipeline(valid_gen)
+                      if valid_gen is not None else None)
 
         for epoch in range(initial_epoch, self.epochs):
             t0 = time.time()
             sums, n_batches = {}, 0
-            for X, Y, sw_dict in self._batches(train_gen):
+            for X, Y, sw_dict in train_pipe:
                 SW = sw_dict["pred_mask"] if isinstance(sw_dict, dict) else sw_dict
                 X = jax.device_put(jnp.asarray(X), img_sh)
                 Y = jax.device_put(jnp.asarray(Y), data_sh)
@@ -224,7 +227,7 @@ class Trainer:
 
             if valid_gen is not None:
                 vsums, vn = {}, 0
-                for X, Y, sw_dict in self._batches(valid_gen):
+                for X, Y, sw_dict in valid_pipe:
                     SW = (sw_dict["pred_mask"] if isinstance(sw_dict, dict)
                           else sw_dict)
                     X = jax.device_put(jnp.asarray(X), img_sh)

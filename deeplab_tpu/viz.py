@@ -110,10 +110,9 @@ def plot_predictions(image_bgr, panels, path=None, figsize_per_panel=4):
 
     image_bgr: (H, W, 3) 0-255 BGR (the pipeline's image contract);
     panels: list of (title, mask) with (H, W) int masks.
-    Writes a PNG when ``path`` is given; returns the figure.
+    Writes a PNG (and closes the figure) when ``path`` is given; otherwise
+    returns the open figure for interactive display — the caller owns it.
     """
-    import matplotlib
-    matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     n = 1 + len(panels)

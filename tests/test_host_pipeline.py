@@ -71,3 +71,55 @@ def test_trainer_uses_pipeline_and_matches_sync():
     multi = run(3, True)
     np.testing.assert_allclose(sync, threaded, rtol=1e-6)
     np.testing.assert_allclose(sync, multi, rtol=1e-6)
+
+
+class FailingGen:
+    batch_size = 2
+
+    def __len__(self):
+        return 3
+
+    def __getitem__(self, i):
+        if i == 1:
+            raise ValueError("corrupt image")
+        return (np.zeros((2, 4, 4, 3), np.float32),
+                np.zeros((2, 16, 1), np.float32),
+                {"pred_mask": np.zeros((2, 16), np.float32)})
+
+    def on_epoch_end(self):
+        pass
+
+
+@pytest.mark.parametrize("cls,kw", [(Prefetcher, {}),
+                                    (MultiprocessPrefetcher, {"workers": 2})])
+def test_pipeline_worker_errors_propagate(cls, kw):
+    """A generator exception must surface as RuntimeError, not hang the
+    training loop on a dead producer."""
+    with pytest.raises(RuntimeError):
+        list(cls(FailingGen(), **kw))
+
+
+class RngGen:
+    """Batches from the (forked) worker's numpy RNG stream."""
+    batch_size = 1
+
+    def __len__(self):
+        return 2
+
+    def __getitem__(self, i):
+        x = np.random.rand(1, 4, 4, 3).astype(np.float32)
+        return x, np.zeros((1, 16, 1), np.float32), {"pred_mask":
+                                                     np.zeros((1, 16),
+                                                              np.float32)}
+
+    def on_epoch_end(self):
+        pass
+
+
+def test_mp_prefetcher_reseeds_across_epochs():
+    """Forked workers get epoch-dependent seeds — augmentation streams must
+    differ between epochs (the pipeline object lives across epochs)."""
+    pf = MultiprocessPrefetcher(RngGen(), workers=2, seed=0)
+    e1 = [b[0].copy() for b in pf]
+    e2 = [b[0].copy() for b in pf]
+    assert not all(np.array_equal(a, b) for a, b in zip(e1, e2))
