@@ -1,64 +1,138 @@
-"""Pallas kernels vs reference formulations (interpret mode on CPU)."""
+"""Production Pallas kernels vs dense numpy formulations (interpret mode on
+CPU).  These are the fused CRF bilateral-grid kernels of
+kernels/crf_fused.py — see the module docstring for the measured layout
+rules.  (fused_dw is the retained negative-result experiment.)"""
 
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
 
-from deeplab_tpu.kernels.crf_grid import slice_cells, splat_cells
+from deeplab_tpu.kernels.crf_fused import (_c_pad, mf_step_planes,
+                                           slice_planes, splat_planes)
 from deeplab_tpu.kernels.fused_dw import fused_dw_bn_relu6
 
-
-def _factors(c, nc):
-    base = np.floor(c)
-    frac = c - base
-    base = base.astype(int)
-    bins = np.arange(nc)
-    return ((base[..., None] == bins) * (1 - frac[..., None])
-            + ((base + 1)[..., None] == bins) * frac[..., None])
+Z, P, nc, L = 3, 256, 5, 4
+INV = 1.0 / 26.0
+C, Cp, D = nc * nc, _c_pad(nc), nc * L
 
 
-def test_crf_splat_slice_match_dense():
+def _chan_factor(plane):
+    """(Z, P) color plane -> (Z, P, nc) 2-tap linear splat weights."""
+    coords = plane * INV
+    base = np.floor(coords)
+    frac = coords - base
+    out = np.zeros(plane.shape + (nc,), np.float32)
+    for k in range(nc):
+        out[..., k] = (np.where(base == k, 1 - frac, 0)
+                       + np.where(base + 1 == k, frac, 0))
+    return out
+
+
+@pytest.fixture(scope="module")
+def data():
     rng = np.random.RandomState(0)
-    Z, P, nc, L = 4, 256, 5, 3
-    coords = rng.rand(Z, P, 3) * (nc - 1.5)
-    v = rng.rand(Z, P, L).astype(np.float32)
-    F = _factors(coords, nc)
-    ar, ag, ab = (jnp.asarray(F[:, :, i], jnp.float32) for i in range(3))
-
-    t_rg = np.einsum("zpr,zpg->zprg", F[:, :, 0], F[:, :, 1]) \
-        .reshape(Z, P, nc * nc)
-    t_lb = np.repeat(v, nc, -1) * np.tile(F[:, :, 2], (1, 1, L))
-    G_ref = np.einsum("zpc,zpd->zcd", t_rg, t_lb)
-
-    G = np.asarray(splat_cells(ar, ag, ab, jnp.asarray(v), nc, L,
-                               chunk=64, interpret=True))
-    np.testing.assert_allclose(G, G_ref, rtol=1e-4, atol=1e-5)
-
-    out_ref = np.einsum("zpc,zcd->zpd", t_rg, G_ref)
-    out_ref = (out_ref * np.tile(F[:, :, 2], (1, 1, L))) \
-        .reshape(Z, P, L, nc).sum(-1)
-    out = np.asarray(slice_cells(ar, ag, ab, jnp.asarray(G_ref, jnp.float32),
-                                 nc, L, chunk=64, interpret=True))
-    np.testing.assert_allclose(out, out_ref, rtol=1e-4, atol=1e-5)
+    rgb = rng.rand(Z, 3, P).astype(np.float32) * 255
+    V = rng.rand(Z, L, P).astype(np.float32)
+    ar, ag, ab = (_chan_factor(rgb[:, i]) for i in range(3))
+    # joint factors, c = r*nc+g; d = b*L + l (b-MAJOR, the kernel layout)
+    t_rg = (ar[:, :, :, None] * ag[:, :, None, :]).reshape(Z, P, C)
+    t_lb = (ab[:, :, :, None]
+            * V.transpose(0, 2, 1)[:, :, None, :]).reshape(Z, P, D)
+    return rgb, V, t_rg, t_lb, ab
 
 
-@pytest.mark.parametrize("rate", [1, 2, 4])
-def test_fused_dw_bn_relu6_matches_xla(rate):
+def test_splat_matches_dense(data):
+    rgb, V, t_rg, t_lb, _ = data
+    G = np.asarray(splat_planes(jnp.asarray(rgb), jnp.asarray(V), nc=nc,
+                                L=L, inv_step=INV, interpret=True))
+    assert G.shape == (Z, D, Cp)
+    ref = np.einsum("zpd,zpc->zdc", t_lb, t_rg)
+    err = np.abs(G[:, :, :C] - ref).max() / np.abs(ref).max()
+    assert err < 5e-3, err              # bf16 contraction tolerance
+    np.testing.assert_array_equal(G[:, :, C:], 0.0)  # lane-pad tail zeroed
+
+
+def test_splat_scale_folds_per_pixel(data):
+    rgb, V, t_rg, t_lb, _ = data
     rng = np.random.RandomState(1)
-    B, H, W, C = 2, 16, 16, 256
-    x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
-    k = jnp.asarray(rng.randn(3, 3, C, 1) * 0.3, jnp.float32)
-    scale = jnp.asarray(rng.rand(C) + 0.5, jnp.float32)
-    shift = jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
-    got = fused_dw_bn_relu6(x, k, scale, shift, rate=rate, interpret=True)
-    dn = jax.lax.conv_dimension_numbers(x.shape, (3, 3, 1, C),
-                                        ("NHWC", "HWIO", "NHWC"))
+    scale = rng.rand(Z, 1, P).astype(np.float32)
+    G = np.asarray(splat_planes(jnp.asarray(rgb), jnp.asarray(V),
+                                jnp.asarray(scale), nc=nc, L=L,
+                                inv_step=INV, interpret=True))
+    ref = np.einsum("zpd,zpc->zdc", t_lb * scale.transpose(0, 2, 1), t_rg)
+    err = np.abs(G[:, :, :C] - ref).max() / np.abs(ref).max()
+    assert err < 5e-3, err
+
+
+def test_slice_matches_dense_with_fused_color_blur(data):
+    rgb, V, t_rg, t_lb, ab = data
+    rng = np.random.RandomState(2)
+    Gt = np.zeros((Z, D, Cp), np.float32)
+    Gt[:, :, :C] = rng.rand(Z, D, C)
+    brg = np.zeros((Cp, Cp), np.float32)
+    brg[:C, :C] = rng.rand(C, C)
+    bb_taps = (0.25, 1.0, 0.25)
+    out = np.asarray(slice_planes(jnp.asarray(rgb), jnp.asarray(Gt),
+                                  jnp.asarray(brg), nc=nc, L=L, inv_step=INV,
+                                  bb_taps=bb_taps, interpret=True))
+    # reference: rg-blur, then banded b-blur, then slice
+    g = np.einsum("zdc,ck->zdk", Gt[:, :, :C], brg[:C, :C])
+    g4 = g.reshape(Z, nc, L, C)
+    gb = np.zeros_like(g4)
+    for b in range(nc):
+        for off, w in zip((-1, 0, 1), bb_taps):
+            if 0 <= b + off < nc:
+                gb[:, b] += w * g4[:, b + off]
+    m = np.einsum("zdc,zpc->zpd", gb.reshape(Z, D, C), t_rg)
+    ref = np.einsum("zpbl,zpb->zlp", m.reshape(Z, P, nc, L), ab)
+    err = np.abs(out - ref).max() / np.abs(ref).max()
+    assert err < 1e-2, err
+
+
+def test_mf_step_is_slice_plus_messages_softmax(data):
+    rgb, V, _, _, _ = data
+    rng = np.random.RandomState(3)
+    Gt = rng.rand(Z, D, Cp).astype(np.float32)
+    brg = np.eye(Cp, dtype=np.float32)
+    U = rng.rand(Z, L, P).astype(np.float32)
+    fg = rng.rand(Z, L, P).astype(np.float32)
+    q = rng.rand(Z, L, P).astype(np.float32)
+    gn = rng.rand(Z, 1, P).astype(np.float32)
+    bn = rng.rand(Z, 1, P).astype(np.float32)
+    bs = rng.rand(Z, 1, P).astype(np.float32)
+    cg, cb = 3.0, 10.0
+    kw = dict(nc=nc, L=L, inv_step=INV, bb_taps=(1.0,), cg=cg, cb=cb,
+              interpret=True)
+    qn, a = mf_step_planes(jnp.asarray(rgb), jnp.asarray(Gt),
+                           jnp.asarray(brg), jnp.asarray(U),
+                           jnp.asarray(fg), jnp.asarray(q), jnp.asarray(gn),
+                           jnp.asarray(bn), jnp.asarray(bs), **kw)
+    qn, a = np.asarray(qn, np.float32), np.asarray(a, np.float32)
+    filt = np.asarray(slice_planes(jnp.asarray(rgb), jnp.asarray(Gt),
+                                   jnp.asarray(brg), nc=nc, L=L,
+                                   inv_step=INV, bb_taps=(1.0,),
+                                   interpret=True))
+    msg_g = (fg - q * gn) * gn
+    msg_b = (filt - bs * bn * q) * bn
+    logits = -U + cg * msg_g + cb * msg_b
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    ref = e / e.sum(axis=1, keepdims=True)
+    assert np.abs(qn - ref).max() < 1e-2
+    assert np.abs(a - ref * gn).max() < 1e-2
+    np.testing.assert_allclose(qn.sum(axis=1), 1.0, rtol=1e-2)
+
+
+def test_fused_dw_matches_reference():
+    """Retained negative-result experiment: correct, just not faster."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 16, 16, 8), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 8, 1) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.rand(8) + 0.5, jnp.float32)
+    offset = jnp.asarray(rng.randn(8) * 0.1, jnp.float32)
+    got = np.asarray(fused_dw_bn_relu6(x, w, scale, offset, interpret=True))
     ref = jax.lax.conv_general_dilated(
-        x, jnp.transpose(k, (0, 1, 3, 2)), (1, 1),
-        [(rate, rate), (rate, rate)], rhs_dilation=(rate, rate),
-        dimension_numbers=dn, feature_group_count=C,
-        precision=jax.lax.Precision.HIGHEST)
-    ref = jnp.clip(ref * scale + shift, 0, 6)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
+        x, jnp.transpose(w, (0, 1, 3, 2)), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=8)
+    ref = np.asarray(jnp.clip(ref * scale + offset, 0.0, 6.0))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
