@@ -1,7 +1,6 @@
 """CRF: TPU grid mean-field vs the exact O(N^2) oracle (SURVEY.md §4)."""
 
 import numpy as np
-import pytest
 import jax.numpy as jnp
 
 from deeplab_tpu.crf import (CrfConfig, do_crf, mean_field,

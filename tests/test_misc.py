@@ -6,7 +6,6 @@ import os
 import numpy as np
 import pytest
 import jax
-import jax.numpy as jnp
 
 from deeplab_tpu.train.callbacks import JSONLLogger
 from deeplab_tpu.train.trainer import Trainer

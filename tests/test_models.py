@@ -5,10 +5,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from deeplab_tpu.core import apply_model, init_model, param_count
+from deeplab_tpu.core import param_count
 from deeplab_tpu.models.deeplabv3p import Deeplabv3
 from deeplab_tpu.models.mobilenetv2 import make_divisible
-from deeplab_tpu.models.seg_model import SegModel, SegNet
+from deeplab_tpu.models.seg_model import SegModel
 
 SZ = 64  # small spatial size keeps CPU tests fast; all strides still exercised
 
