@@ -30,7 +30,7 @@ class Predictor:
 
     def __init__(self, net, params, state, crf: Optional[CrfConfig] = None,
                  compute_dtype=jnp.bfloat16, mesh=None,
-                 n_classes: Optional[int] = None):
+                 n_classes: Optional[int] = None, spatial: bool = False):
         self.net = net
         self.params = params
         self.state = state
@@ -56,7 +56,11 @@ class Predictor:
             from deeplab_tpu.parallel.mesh import (data_sharding,
                                                    replicated_sharding)
             repl = replicated_sharding(mesh)
-            data = data_sharding(mesh)
+            # Optionally shard the image height over the mesh 'space' axis
+            # for big-image serving (XLA SPMD inserts the conv halo
+            # exchanges — the serving twin of Trainer(spatial=True)).
+            data = data_sharding(mesh, spatial=spatial)
+            out_data = data_sharding(mesh)
             self.params = jax.device_put(params, repl)
             self.state = jax.device_put(state, repl)
 
@@ -66,7 +70,9 @@ class Predictor:
                     # The CRF is embarrassingly data-parallel and its Pallas
                     # kernels have no SPMD partitioning rule — run it
                     # per-device on local batch shards via shard_map (the
-                    # model stays under XLA's SPMD partitioner).
+                    # model stays under XLA's SPMD partitioner; under
+                    # spatial sharding XLA all-gathers H at this boundary
+                    # since the CRF needs whole images).
                     spec = P("data")
                     preds = jax.shard_map(
                         lambda im, pr: mean_field_batched(
@@ -77,7 +83,7 @@ class Predictor:
 
             self._fn = jax.jit(sharded_pipeline,
                                in_shardings=(repl, repl, data),
-                               out_shardings=data)
+                               out_shardings=out_data)
         else:
             self._fn = jax.jit(pipeline)
 

@@ -71,3 +71,18 @@ def test_predictor_sharded_crf_pallas_interpret():
     out = p8(imgs)
     assert out.shape == (8, SZ, SZ)
     assert set(np.unique(out)) <= set(range(21))
+
+
+def test_predictor_spatial_sharded_matches_unsharded():
+    """Big-image serving: image height sharded over the mesh 'space' axis
+    (conv halo exchanges via XLA SPMD), CRF over whole images per data
+    shard — must match the single-device pipeline."""
+    from deeplab_tpu.crf import CrfConfig
+    net, params, state = _net_and_weights()
+    imgs = np.random.RandomState(5).rand(4, SZ, SZ, 3) * 255
+    cfg = CrfConfig(sxy_bilateral=16.0, n_iters=2, backend="xla")
+    p1 = Predictor(net, params, state, crf=cfg)
+    psp = Predictor(net, params, state, crf=cfg, spatial=True,
+                    mesh=get_mesh(jax.devices()[:8], data=4, space=2))
+    a, b = p1(imgs), psp(imgs)
+    assert (a == b).mean() > 0.999, (a == b).mean()
