@@ -20,6 +20,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: a warm .jax_cache cuts the ~12 min of XLA
+# compilation out of repeat runs (first run populates it)
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass
+
 # BENCH_NET=subpixel benchmarks the pixel-shuffle head variant
 NET = os.environ.get("BENCH_NET", "original")
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
@@ -86,6 +97,11 @@ def main():
 
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.rand(BATCH, 512, 512, 3) * 255, jnp.float32)
+
+    # warm the dispatch path: the axon tunnel's first dozen dispatches in a
+    # fresh process are slow and would deflate whichever stage runs first
+    for _ in range(12):
+        np.asarray(checksum(img[:1, :8, :8]))
 
     t_model = timeit(lambda: model_only(params, state, img), checksum)
     emit("inference (model only)", BATCH * ITERS / t_model)
