@@ -385,7 +385,7 @@ class _PallasPlan:
             G = G * float(self.stride ** 2)
         else:
             G = splat_planes(self.rgb, V, scale, **kw)
-        G = self.z_blur(G)
+        G = self.z_blur(G.astype(jnp.bfloat16))
         return slice_planes(self.rgb, G, self.Brg, bb_taps=self.bb_taps,
                             **kw)
 
@@ -418,17 +418,19 @@ def _sep_conv_bwh_to_bhw(x, taps):
 
 
 def unary_planes(labels, n_labels: int, gt_prob: float,
-                 zero_unsure: bool = True) -> jnp.ndarray:
+                 zero_unsure: bool = True,
+                 dtype=jnp.float32) -> jnp.ndarray:
     """(B*Z, 1, P) int labels -> (B*Z, L, P) unary energies (the cell-plane
-    version of ``unary_from_labels``)."""
+    version of ``unary_from_labels``).  Energies are O(1) magnitudes, so
+    bf16 storage is loss-free enough for the serving path."""
     n_energy = -math.log((1.0 - gt_prob) / (n_labels - 1))
     p_energy = -math.log(gt_prob)
     idx = labels - 1 if zero_unsure else labels
     bins = jnp.arange(n_labels, dtype=labels.dtype).reshape(1, n_labels, 1)
-    one_hot = (idx == bins).astype(jnp.float32)          # (B*Z, L, P)
-    U = n_energy + (p_energy - n_energy) * one_hot
+    one_hot = (idx == bins).astype(dtype)                # (B*Z, L, P)
+    U = dtype(n_energy) + dtype(p_energy - n_energy) * one_hot
     if zero_unsure:
-        U = jnp.where(labels == 0, -math.log(1.0 / n_labels), U)
+        U = jnp.where(labels == 0, dtype(-math.log(1.0 / n_labels)), U)
     return U
 
 
@@ -460,7 +462,7 @@ def _mean_field_planes(plan: _PallasPlan, unary_c: jnp.ndarray,
     # arithmetic and the normalization terms stay f32
     bf = jnp.bfloat16
     gn_b = gn_c.astype(bf)
-    unary_b = unary_c.astype(bf)
+    unary_b = unary_c.astype(bf)  # no-op when the caller built bf16 unaries
     # splat-side per-pixel scale, hoisted: normalization * pad mask
     # (* stride^2 splat-subsampling weight, folded in rather than scaling
     # the grid tensor every iteration)
@@ -495,7 +497,7 @@ def _mean_field_planes(plan: _PallasPlan, unary_c: jnp.ndarray,
     # static unroll: a lax.scan carry of the (B*Z, L, P) state inserts
     # whole-state copies at every iteration boundary (profiled as ~15% of
     # device time); n_iters is small and static
-    Q = jax.nn.softmax(-unary_c, axis=1).astype(bf)
+    Q = jax.nn.softmax(-unary_c.astype(jnp.float32), axis=1).astype(bf)
     A = Q * gn_b
     for _ in range(cfg.n_iters):
         Q, A = body(Q, A)
@@ -657,7 +659,8 @@ def mean_field_batched(imgs: jnp.ndarray, masks: jnp.ndarray,
         plan = _PallasPlan(imgs.astype(jnp.float32), cfg.sxy_bilateral,
                            cfg.srgb, cfg.color_step, cfg.splat_stride)
         labels_c = plan.cells_v(masks[:, None].astype(jnp.int32))
-        U = unary_planes(labels_c, n_labels, cfg.gt_prob, zero_unsure=False)
+        U = unary_planes(labels_c, n_labels, cfg.gt_prob, zero_unsure=False,
+                         dtype=jnp.bfloat16)
         Q = _mean_field_planes(plan, U, cfg, n_labels)
         pred_c = jnp.argmax(Q, axis=1, keepdims=True)    # (B*Z, 1, P)
         return plan.uncells_v(pred_c, 1)[:, 0]           # (B, H, W)

@@ -56,7 +56,9 @@ def test_mean_field_unary_api_matches_batched():
     single = Q.argmax(-1).reshape(H, W)
     batched = np.asarray(mean_field_batched(
         im[None], jnp.asarray(labels.reshape(1, H, W)), cfg, L))[0]
-    assert (single == batched).mean() > 0.999
+    # mean_field keeps caller-supplied f32 unaries; the batched serving path
+    # builds bf16 unaries — a few boundary pixels may flip
+    assert (single == batched).mean() > 0.99
 
 
 def test_pallas_xla_same_math_small_sigma():
@@ -73,3 +75,37 @@ def test_pallas_xla_same_math_small_sigma():
     mp = np.asarray(mean_field_batched(imj, mj,
                                        CrfConfig(backend="pallas", **kw), L))
     assert (mx == mp).mean() > 0.98, (mx == mp).mean()
+
+
+@pytest.mark.parametrize("hw", [(37, 111), (61, 45)])
+def test_pallas_odd_sizes(hw):
+    """Odd image sizes force maximal cell padding (ny=nx=1 with big pads);
+    the valid-mask must keep results consistent with the XLA path."""
+    H, W = hw
+    L = 7
+    im, mask = make_scene(H, W, L, 4)
+    imj, mj = jnp.asarray(im)[None], jnp.asarray(mask)[None]
+    kw = dict(n_iters=2)  # default sxy_bilateral=80 >> image
+    mx = np.asarray(mean_field_batched(imj, mj,
+                                       CrfConfig(backend="xla", **kw), L))
+    mp = np.asarray(mean_field_batched(imj, mj,
+                                       CrfConfig(backend="pallas", **kw), L))
+    assert mp.shape == (1, H, W)
+    assert (mx == mp).mean() > 0.97, (mx == mp).mean()
+
+
+def test_do_crf_pallas_label_compression():
+    """do_crf's unique-label compression path through the pallas backend
+    (zero_unsure remap quirk included)."""
+    from deeplab_tpu.crf.dense_crf import do_crf
+    H, W = 40, 56
+    im, _ = make_scene(H, W, 5, 6)
+    rng = np.random.RandomState(0)
+    mask = rng.choice([0, 3, 9, 17], size=(H, W))  # sparse label ids
+    cfg = CrfConfig(sxy_bilateral=16.0, n_iters=2, backend="pallas")
+    out = do_crf(im, mask, zero_unsure=True, cfg=cfg)
+    assert out.shape == (H, W)
+    assert set(np.unique(out)) <= {0, 3, 9, 17}
+    cfg_x = CrfConfig(sxy_bilateral=16.0, n_iters=2, backend="xla")
+    out_x = do_crf(im, mask, zero_unsure=True, cfg=cfg_x)
+    assert (out == out_x).mean() > 0.97
