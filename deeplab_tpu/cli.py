@@ -156,8 +156,8 @@ def cmd_predict(args):
             if args.crf and cfg.crf.enabled:
                 panels.insert(0, ("prediction", pred_raw))
             plot_predictions(bgr, panels, path=stem + "_viz.png")
-        except ImportError:
-            print("note: matplotlib not installed; skipping _viz.png")
+        except Exception as e:  # matplotlib missing OR a broken backend
+            print(f"note: skipping _viz.png ({e})")
         print(f"{path} -> {out} (classes: {sorted(set(pred.flat))})")
 
 

@@ -385,7 +385,10 @@ class _PallasPlan:
             G = G * float(self.stride ** 2)
         else:
             G = splat_planes(self.rgb, V, scale, **kw)
-        G = self.z_blur(G.astype(jnp.bfloat16))
+        # f32 throughout: apply() serves the normalization pass, where bf16
+        # cancellation in (ksum - self_weight) could explode rsqrt for
+        # pixels with no similar neighbors
+        G = self.z_blur(G)
         return slice_planes(self.rgb, G, self.Brg, bb_taps=self.bb_taps,
                             **kw)
 

@@ -397,7 +397,9 @@ class MultiprocessPrefetcher:
                     try:
                         item = q.get(timeout=5.0)
                         break
-                    except Exception:
+                    except queue.Empty:
+                        # only a timeout — anything else (e.g. an unpickling
+                        # error) must propagate, not shift batch order
                         if not p.is_alive() and q.empty():
                             raise RuntimeError(
                                 f"data pipeline worker {i % w} died "

@@ -72,8 +72,14 @@ class Predictor:
                     # per-device on local batch shards via shard_map (the
                     # model stays under XLA's SPMD partitioner; under
                     # spatial sharding XLA all-gathers H at this boundary
-                    # since the CRF needs whole images).
-                    spec = P("data")
+                    # since the CRF needs whole images).  When the batch
+                    # also divides the full mesh, spread CRF images over
+                    # BOTH axes so space-replicas don't do redundant work.
+                    n_all = mesh.devices.size
+                    if spatial and img.shape[0] % n_all == 0:
+                        spec = P(("data", "space"))
+                    else:
+                        spec = P("data")
                     preds = jax.shard_map(
                         lambda im, pr: mean_field_batched(
                             im, pr, crf, self.n_classes),

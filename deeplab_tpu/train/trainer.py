@@ -204,7 +204,21 @@ class Trainer:
         train_pipe = self._make_pipeline(train_gen)
         valid_pipe = (self._make_pipeline(valid_gen)
                       if valid_gen is not None else None)
+        try:
+            return self._fit_loop(train_gen, train_pipe, valid_gen,
+                                  valid_pipe, initial_epoch, train_jit,
+                                  eval_jit, base_rng, history, data_sh,
+                                  img_sh, step, state_checkpoint)
+        finally:
+            # stop abandoned producers (an exception mid-epoch would
+            # otherwise leave a worker looping over the shared generator)
+            for pipe in (train_pipe, valid_pipe):
+                if pipe is not None and hasattr(pipe, "close"):
+                    pipe.close()
 
+    def _fit_loop(self, train_gen, train_pipe, valid_gen, valid_pipe,
+                  initial_epoch, train_jit, eval_jit, base_rng, history,
+                  data_sh, img_sh, step, state_checkpoint):
         for epoch in range(initial_epoch, self.epochs):
             t0 = time.time()
             sums, n_batches = {}, 0

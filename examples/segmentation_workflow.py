@@ -109,12 +109,15 @@ def main():
     print("sample mIOU (+CRF):  ", mIOU(gt, MAP))
 
     # ---- cell 9: side-by-side image / GT / prediction / +CRF figure ----
-    from deeplab_tpu.viz import plot_predictions
-    fig_path = os.path.join(os.path.dirname(SegClass.modelpath) or ".",
-                            "sample_prediction.png")
-    plot_predictions(x[0], [("ground truth", gt), ("prediction", preds),
-                            ("prediction + CRF", MAP)], path=fig_path)
-    print("wrote", fig_path)
+    try:  # matplotlib (and a working backend) is the optional 'viz' extra
+        from deeplab_tpu.viz import plot_predictions
+        fig_path = os.path.join(os.path.dirname(SegClass.modelpath) or ".",
+                                "sample_prediction.png")
+        plot_predictions(x[0], [("ground truth", gt), ("prediction", preds),
+                                ("prediction + CRF", MAP)], path=fig_path)
+        print("wrote", fig_path)
+    except Exception as e:
+        print("note: skipping figure:", e)
 
     # ---- cells 10-11: dataset confusion-matrix IoU ----
     SegClass.set_batch_size(1)

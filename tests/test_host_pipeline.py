@@ -61,7 +61,7 @@ def test_trainer_uses_pipeline_and_matches_sync():
 
     def run(workers, mp):
         gen = ArrayBatcher(X, Y, 4, n_classes=21)
-        tr = Trainer(model, epochs=1, verbose=0, workers=workers,
+        tr = Trainer(model, epochs=2, verbose=0, workers=workers,
                      use_multiprocessing=mp)
         hist = tr.fit(params, state, gen)
         return hist["loss"]

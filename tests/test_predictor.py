@@ -79,10 +79,13 @@ def test_predictor_spatial_sharded_matches_unsharded():
     shard — must match the single-device pipeline."""
     from deeplab_tpu.crf import CrfConfig
     net, params, state = _net_and_weights()
-    imgs = np.random.RandomState(5).rand(4, SZ, SZ, 3) * 255
     cfg = CrfConfig(sxy_bilateral=16.0, n_iters=2, backend="xla")
     p1 = Predictor(net, params, state, crf=cfg)
     psp = Predictor(net, params, state, crf=cfg, spatial=True,
                     mesh=get_mesh(jax.devices()[:8], data=4, space=2))
-    a, b = p1(imgs), psp(imgs)
-    assert (a == b).mean() > 0.999, (a == b).mean()
+    # B=8 divides the full 4x2 mesh (CRF spreads over BOTH axes);
+    # B=4 only divides 'data' (space-replicated CRF fallback)
+    for B in (8, 4):
+        imgs = np.random.RandomState(5).rand(B, SZ, SZ, 3) * 255
+        a, b = p1(imgs), psp(imgs)
+        assert (a == b).mean() > 0.999, (B, (a == b).mean())
