@@ -14,10 +14,12 @@ Measured design rules (v5e, 512x512 / Z=49 cells / nc=11 / L=21):
 - pixel-major layouts everywhere: rgb planes ``(Z, 3, P)``, values
   ``(Z, L, P)`` — an ``(..., nc)`` or ``(..., L)`` minor axis would be
   tile-padded to 128 lanes in HBM (~6-12x bloat);
-- factor expansion on the VPU via integer-iota compares, NOT one-hot
-  selector matmuls: a (C, nc) @ (nc, P) "expansion matmul" pays for K=128
-  on the MXU no matter that K=11, and measured nearly as expensive as the
-  real contraction;
+- factor expansion on the VPU via hat functions ``relu(1 - |bin - coord|)``
+  against an iota bin grid (see ``_t_rg_row``), NOT one-hot selector
+  matmuls: a (C, nc) @ (nc, P) "expansion matmul" pays for K=128 on the
+  MXU no matter that K=11, and measured nearly as expensive as the real
+  contraction; the hat form also measured ~8% faster end-to-end than
+  iota-compare/select pairs;
 - every MXU contraction is canonical (M, K) @ (K, N): contracting
   minor-vs-minor forces Mosaic relayouts of (256, CHUNK) operands and
   measured ~40x slower;
@@ -76,21 +78,30 @@ def _t_rg_row(rgb_ref, inv_step: float, nc: int):
     """Joint (r, g) splat factor, (C_pad, CHUNK) f32, c = r*nc + g; rows
     past nc*nc are zeroed (they exist only for lane alignment).
 
-    2-tap linear splat per channel: weight (1-frac) at floor(x), frac at
-    floor(x)+1, expanded jointly via iota compares on the VPU.
+    2-tap linear splat per channel — written as the hat function
+    ``relu(1 - |bin - coord|)``, which equals the (1-frac)/frac two-bin
+    selector but costs ~half the VPU passes of an iota-compare/select
+    formulation, and zeroes the alignment-pad rows for free: pad rows have
+    bin >= nc >= 255 * inv_step + 1 >= coord + 1, so the hat is exactly 0.
+    (The wrappers assert that nc/inv_step invariant — it holds by
+    construction for the production plans, which set
+    nc = floor(255 * inv_step) + 2.)
     """
-    br, fr = _base_frac(rgb_ref[0, 0:1], inv_step)
-    bg, fg = _base_frac(rgb_ref[0, 1:2], inv_step)
+    cr_coord = rgb_ref[0, 0:1].astype(jnp.float32) * inv_step
+    cg_coord = rgb_ref[0, 1:2].astype(jnp.float32) * inv_step
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (_c_pad(nc), 1), 0)
-    cr, cg = iota_c // nc, iota_c % nc
-    w_r = jnp.where(cr == br, 1.0 - fr, 0.0) + jnp.where(cr == br + 1, fr, 0.0)
-    w_g = jnp.where(cg == bg, 1.0 - fg, 0.0) + jnp.where(cg == bg + 1, fg, 0.0)
-    return jnp.where(iota_c < nc * nc, w_r * w_g, 0.0)
+    cr = (iota_c // nc).astype(jnp.float32)
+    cg = (iota_c % nc).astype(jnp.float32)
+    w_r = jnp.maximum(1.0 - jnp.abs(cr - cr_coord), 0.0)
+    w_g = jnp.maximum(1.0 - jnp.abs(cg - cg_coord), 0.0)
+    return w_r * w_g
 
 
 def _b_weight(bb, fb, b: int):
-    """(1, CHUNK) weight of color-b bin ``b``."""
-    return jnp.where(bb == b, 1.0 - fb, 0.0) + jnp.where(bb == b - 1, fb, 0.0)
+    """(1, CHUNK) weight of color-b bin ``b`` (hat function; bb/fb are the
+    base/frac of the b coordinate)."""
+    coord = bb.astype(jnp.float32) + fb
+    return jnp.maximum(1.0 - jnp.abs(coord - b), 0.0)
 
 
 def _splat_kernel(rgb_ref, v_ref, n_ref, out_ref, *, nc, L, inv_step):
@@ -183,6 +194,230 @@ def _rgb_spec(chunk):
                         memory_space=pltpu.VMEM)
 
 
+# ------------------------------------------------ cell-plane spatial blur ----
+#
+# The mean-field spatial message is a separable truncated Gaussian over the
+# image.  The XLA formulation (``dense_crf._sep_conv_bwh_to_bhw``) runs two
+# dense (H, H)/(W, W) band matmuls in image layout, which costs two full
+# 6-D cell<->image relayouts of the (B, L, H, W) state per iteration —
+# measured ~46% of total CRF time at the serving config.  These kernels do
+# the same blur directly on the cell planes with neighbor-cell halos
+# (radius <= cell size, checked by the caller).
+#
+# Measured design rules (v5e, 512x512 / 64x128 cells / L=21):
+#
+# - the y contraction must ride the MXU: transpose the halo tile in VMEM,
+#   run one canonical (L*cs_x, cs_y+2r) @ (cs_y+2r, cs_y) matmul, transpose
+#   back (0.128 ms/img) — both a 17-tap sublane slice-FMA formulation
+#   (0.223: VPU-bound, one unaligned sublane rotate + convert per tap) and
+#   a dot_general sublane contraction (0.137) measure slower, and writing
+#   the output in swapped (L, X, Y) layout to skip the transpose back is
+#   slower still (0.196: HBM tiling of the 64-lane minor axis);
+# - the x contraction of the 128-lane minor axis is canonical from the
+#   start: (L*cs_y, cs_x) @ (cs_x, cs_x) against banded blocks of the
+#   column blur matrix (left / center / right neighbor);
+# - fusing both passes into ONE kernel over a full cell ROW removes the
+#   midpoint HBM round-trip and fetches only 16-row neighbor strips for
+#   the y halo instead of full neighbor blocks — the pass is HBM-bound, so
+#   traffic is the budget: 2 reads + 1 write per element vs 7 for the
+#   two-kernel chain.
+#
+# Boundary cells mask their missing neighbors (zero padding — exactly the
+# truncated band matrix semantics of the image-layout path).  Cell-pad
+# pixels (beyond H/W) carry A = Q * g_norm = 0 (g_norm is zero-padded), so
+# blurring across the pad boundary is also exact.
+
+
+def _y_halo_matrix(cs_y: int, r: int, taps) -> "object":
+    """(cs_y + 2r, cs_y) matrix: out row y draws tap[(k - r) - y + r] from
+    halo row k (halo = r rows of up-neighbor + cell + r rows of down)."""
+    import numpy as _np
+    m = _np.zeros((cs_y + 2 * r, cs_y), _np.float32)
+    for k in range(cs_y + 2 * r):
+        for y in range(cs_y):
+            d = k - (y + r)
+            if -r <= d <= r:
+                m[k, y] = taps[d + r]
+    return m
+
+
+def _blur_row_kernel(up_ref, c_ref, dn_ref, ty_ref, tl_ref, t0_ref, tr_ref,
+                     out_ref, *, ny, r, strip):
+    """Fused y+x blur of one full cell row (nx cells).  up/dn are thin
+    ``strip``-row neighbor slices; left/right halos live inside the block."""
+    zr = pl.program_id(0)
+    iy = zr % ny
+    bf = jnp.bfloat16
+    m_up = jnp.where(iy > 0, 1.0, 0.0).astype(bf)
+    m_dn = jnp.where(iy < ny - 1, 1.0, 0.0).astype(bf)
+    nx, L, cs_y, cs_x = c_ref.shape[1:]
+    halo = jnp.concatenate(
+        [up_ref[0, :, :, strip - r:].astype(bf) * m_up,
+         c_ref[0].astype(bf),
+         dn_ref[0, :, :, :r].astype(bf) * m_dn], axis=2)  # (nx, L, Yh, X)
+    ht = jnp.swapaxes(halo, 2, 3)                         # (nx, L, X, Yh)
+    t1 = jnp.dot(ht.reshape(nx * L * cs_x, cs_y + 2 * r),
+                 ty_ref[:].astype(bf),
+                 preferred_element_type=jnp.float32)      # (.., Y)
+    t2 = jnp.swapaxes(t1.reshape(nx, L, cs_x, cs_y), 2, 3).astype(bf)
+    tl, t0, tr = (m[:].astype(bf) for m in (tl_ref, t0_ref, tr_ref))
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    flat = lambda n: t2[n].reshape(L * cs_y, cs_x)
+    for n in range(nx):
+        acc = dot(flat(n), t0)
+        if n > 0:
+            acc += dot(flat(n - 1), tl)
+        if n < nx - 1:
+            acc += dot(flat(n + 1), tr)
+        out_ref[0, n] = acc.reshape(L, cs_y, cs_x).astype(out_ref.dtype)
+
+
+def _blur_y_kernel(up_ref, c_ref, dn_ref, ty_ref, out_ref, *, ny, nx, Z, r):
+    """Fallback per-cell y pass (rows too large for the fused row kernel):
+    transpose -> canonical matmul -> transpose (see module design rules)."""
+    z = pl.program_id(0)
+    iy = (z % Z) // nx
+    bf = jnp.bfloat16
+    m_up = jnp.where(iy > 0, 1.0, 0.0).astype(bf)
+    m_dn = jnp.where(iy < ny - 1, 1.0, 0.0).astype(bf)
+    L, cs_y, cs_x = c_ref.shape[1:]
+    halo = jnp.concatenate(
+        [up_ref[0, :, cs_y - r:].astype(bf) * m_up, c_ref[0].astype(bf),
+         dn_ref[0, :, :r].astype(bf) * m_dn], axis=1)     # (L, Yh, X)
+    ht = jnp.swapaxes(halo, 1, 2)                         # (L, X, Yh)
+    t1 = jnp.dot(ht.reshape(L * cs_x, cs_y + 2 * r),
+                 ty_ref[:].astype(bf),
+                 preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.swapaxes(t1.reshape(L, cs_x, cs_y), 1, 2).astype(
+        out_ref.dtype)
+
+
+def _blur_x_kernel(lf_ref, c_ref, rt_ref, tl_ref, t0_ref, tr_ref, out_ref,
+                   *, nx, Z):
+    z = pl.program_id(0)
+    ix = z % nx
+    m_lf = jnp.where(ix > 0, 1.0, 0.0).astype(jnp.float32)
+    m_rt = jnp.where(ix < nx - 1, 1.0, 0.0).astype(jnp.float32)
+    L, cs_y, cs_x = c_ref.shape[1:]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    flat = lambda ref: ref[0].reshape(L * cs_y, cs_x).astype(jnp.bfloat16)
+    acc = dot(flat(c_ref), t0_ref[:].astype(jnp.bfloat16))
+    acc += dot(flat(lf_ref), tl_ref[:].astype(jnp.bfloat16)) * m_lf
+    acc += dot(flat(rt_ref), tr_ref[:].astype(jnp.bfloat16)) * m_rt
+    out_ref[0] = acc.reshape(L, cs_y, cs_x).astype(out_ref.dtype)
+
+
+def _x_blur_blocks(cs_x: int, taps) -> "tuple":
+    """Banded (cs_x, cs_x) blocks (TL, T0, TR) of the column blur: column j
+    of the output draws tap[(j - i) + r] from column i of the left (i-cs_x),
+    center (i), or right (i+cs_x) neighbor cell."""
+    import numpy as _np
+    r = len(taps) // 2
+    blocks = []
+    for shift in (-cs_x, 0, cs_x):
+        m = _np.zeros((cs_x, cs_x), _np.float32)
+        for i in range(cs_x):
+            for j in range(cs_x):
+                d = j - (i + shift)
+                if -r <= d <= r:
+                    m[i, j] = taps[d + r]
+        blocks.append(m)
+    return tuple(blocks)
+
+
+# fused row kernel VMEM budget: center/out blocks are double-buffered and
+# the halo/transpose/matmul intermediates are block-sized; ~8x the block
+# must fit comfortably in the ~16 MB of VMEM
+_ROW_BLOCK_BYTES = 1 << 21
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "B", "ny", "nx",
+                                             "cs_y", "cs_x", "interpret"))
+def gaussian_blur_planes(a, *, taps: tuple, B: int, ny: int, nx: int,
+                         cs_y: int, cs_x: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Separable spatial Gaussian over cell planes.  a: (B*Z, L, P) with
+    P = cs_y*cs_x; returns the blurred planes, same shape/dtype.  Matches
+    ``dense_crf._sep_conv_bwh_to_bhw`` on the un-celled image (bf16 taps,
+    zero padding outside the image) without the image-layout relayouts.
+    Requires len(taps)//2 <= min(cs_y, cs_x)."""
+    BZ, L, P = a.shape
+    Z = ny * nx
+    r = len(taps) // 2
+    assert P == cs_y * cs_x and r <= min(cs_y, cs_x), (P, cs_y, cs_x, r)
+    # taps rounded to bf16 to match the band-matrix astype of the XLA path
+    import ml_dtypes
+    import numpy as _np
+    taps_b = tuple(float(_np.asarray(t, ml_dtypes.bfloat16)) for t in taps)
+    ty = jnp.asarray(_y_halo_matrix(cs_y, r, taps_b))
+    tyspec = pl.BlockSpec((cs_y + 2 * r, cs_y), lambda z: (0, 0),
+                          memory_space=pltpu.VMEM)
+    tl, t0, tr = (jnp.asarray(m) for m in _x_blur_blocks(cs_x, taps_b))
+    mspec = pl.BlockSpec((cs_x, cs_x), lambda z: (0, 0),
+                         memory_space=pltpu.VMEM)
+    arb = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+
+    strip = 16  # sublane-tile-aligned thin halo slice
+    row_bytes = nx * L * P * a.dtype.itemsize
+    if r <= strip <= cs_y and cs_y % strip == 0 \
+            and row_bytes <= _ROW_BLOCK_BYTES:
+        a5 = a.reshape(B * ny, nx, L, cs_y, cs_x)
+        rspec = pl.BlockSpec((1, nx, L, cs_y, cs_x),
+                             lambda z: (z, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        hi = B * ny - 1
+        up = pl.BlockSpec((1, nx, L, strip, cs_x),
+                          lambda z: (jnp.clip(z - 1, 0, hi), 0, 0,
+                                     cs_y // strip - 1, 0),
+                          memory_space=pltpu.VMEM)
+        dn = pl.BlockSpec((1, nx, L, strip, cs_x),
+                          lambda z: (jnp.clip(z + 1, 0, hi), 0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_blur_row_kernel, ny=ny, r=r, strip=strip),
+            grid=(B * ny,),
+            in_specs=[up, rspec, dn, tyspec, mspec, mspec, mspec],
+            out_specs=rspec,
+            out_shape=jax.ShapeDtypeStruct(a5.shape, a.dtype),
+            compiler_params=arb,
+            interpret=interpret,
+        )(a5, a5, a5, ty, tl, t0, tr)
+        return out.reshape(BZ, L, P)
+
+    a4 = a.reshape(BZ, L, cs_y, cs_x)
+    spec = pl.BlockSpec((1, L, cs_y, cs_x), lambda z: (z, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def shifted(dz, lo, hi):
+        return pl.BlockSpec(
+            (1, L, cs_y, cs_x),
+            lambda z: (jnp.clip(z + dz, lo, hi), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    fy = pl.pallas_call(
+        functools.partial(_blur_y_kernel, ny=ny, nx=nx, Z=Z, r=r),
+        grid=(BZ,),
+        in_specs=[shifted(-nx, 0, BZ - 1), spec, shifted(nx, 0, BZ - 1),
+                  tyspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(a4.shape, a.dtype),
+        compiler_params=arb,
+        interpret=interpret,
+    )(a4, a4, a4, ty)
+
+    fx = pl.pallas_call(
+        functools.partial(_blur_x_kernel, nx=nx, Z=Z),
+        grid=(BZ,),
+        in_specs=[shifted(-1, 0, BZ - 1), spec, shifted(1, 0, BZ - 1),
+                  mspec, mspec, mspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(a4.shape, a.dtype),
+        compiler_params=arb,
+        interpret=interpret,
+    )(fy, fy, fy, tl, t0, tr)
+    return fx.reshape(BZ, L, P)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nc", "L", "inv_step", "chunk",
                                     "interpret"))
@@ -196,6 +431,7 @@ def splat_planes(rgb, values, scale=None, *, nc: int, L: int,
     Z, _, P = rgb.shape
     chunk = chunk or P
     assert P % chunk == 0, (P, chunk)
+    assert nc >= 255.0 * inv_step + 1, (nc, inv_step)  # hat-pad invariant
     if scale is None:
         scale = jnp.ones((Z, 1, P), jnp.float32)
     return pl.pallas_call(
@@ -229,6 +465,7 @@ def slice_planes(rgb, grid_t, brg, *, nc: int, L: int, inv_step: float,
     Z, _, P = rgb.shape
     chunk = chunk or P
     assert P % chunk == 0, (P, chunk)
+    assert nc >= 255.0 * inv_step + 1, (nc, inv_step)  # hat-pad invariant
     C = _c_pad(nc)
     return pl.pallas_call(
         functools.partial(_slice_kernel, nc=nc, L=L, inv_step=inv_step,
@@ -270,6 +507,7 @@ def mf_step_planes(rgb, grid_t, brg, unary, f_gauss, q, g_norm, b_norm,
         while nc * L * chunk * 4 > (6 << 20) and chunk % 2 == 0:
             chunk //= 2
     assert P % chunk == 0, (P, chunk)
+    assert nc >= 255.0 * inv_step + 1, (nc, inv_step)  # hat-pad invariant
     lspec = pl.BlockSpec((1, L, chunk), lambda z, k: (z, 0, k),
                          memory_space=pltpu.VMEM)
     nspec = pl.BlockSpec((1, 1, chunk), lambda z, k: (z, 0, k),

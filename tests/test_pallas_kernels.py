@@ -13,7 +13,7 @@ from deeplab_tpu.kernels.crf_fused import (_c_pad, mf_step_planes,
 from deeplab_tpu.kernels.fused_dw import fused_dw_bn_relu6
 
 Z, P, nc, L = 3, 256, 5, 4
-INV = 1.0 / 26.0
+INV = 1.0 / 64.0   # nc = floor(255*INV) + 2: the production bin-range invariant
 C, Cp, D = nc * nc, _c_pad(nc), nc * L
 
 
