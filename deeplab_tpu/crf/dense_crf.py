@@ -437,13 +437,25 @@ def unary_planes(labels, n_labels: int, gt_prob: float,
     return U
 
 
-def _mean_field_planes(plan: _PallasPlan, unary_c: jnp.ndarray,
-                       cfg: "CrfConfig", n_labels: int) -> jnp.ndarray:
-    """Mean-field inference in cell-plane layout.  unary_c: (B*Z, L, P)
-    energies.  Returns Q: (B*Z, L, P).  Same math as ``mean_field`` —
-    Krähenbühl & Koltun Algorithm 1 with symmetric normalization and
-    self-interaction excluded — laid out for the TPU memory system."""
-    BZ, L, P = unary_c.shape
+def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
+                       labels_c: jnp.ndarray = None,
+                       unary_c: jnp.ndarray = None) -> jnp.ndarray:
+    """Mean-field inference in cell-plane layout.  Give EITHER ``labels_c``
+    (B*Z, 1, P) hard labels — the serving path: the two-level unary is
+    rebuilt inside the step kernel from the packed label plane, no (L, P)
+    unary tensor is ever materialized — or ``unary_c`` (B*Z, L, P) caller
+    energies (streamed to the kernel).  Returns Q: (B*Z, L, P).  Same math
+    as ``mean_field`` — Krähenbühl & Koltun Algorithm 1 with symmetric
+    normalization and self-interaction excluded — laid out for the TPU
+    memory system."""
+    from deeplab_tpu.kernels import crf_fused as _cf
+
+    L = n_labels
+    if unary_c is None:
+        n_energy = -math.log((1.0 - cfg.gt_prob) / (n_labels - 1))
+        p_energy = -math.log(cfg.gt_prob)
+    else:
+        n_energy = p_energy = 0.0
     taps = _gauss_taps(cfg.sxy_gaussian)
     # spatial normalization (f32-exact, hoisted): (B*Z, 1, P)
     gn_img = gaussian_norm((plan.h, plan.w), cfg.sxy_gaussian)   # (H, W, 1)
@@ -481,44 +493,64 @@ def _mean_field_planes(plan: _PallasPlan, unary_c: jnp.ndarray,
     # arithmetic and the normalization terms stay f32
     bf = jnp.bfloat16
     gn_b = gn_c.astype(bf)
-    unary_b = unary_c.astype(bf)  # no-op when the caller built bf16 unaries
-    # splat-side per-pixel scale, hoisted: normalization * pad mask
-    # (* stride^2 splat-subsampling weight, folded in rather than scaling
-    # the grid tensor every iteration)
-    if plan.stride > 1:
-        sub_scale = plan.subsample(b_scale, 1) * float(plan.stride ** 2)
-    else:
-        sub_scale = b_scale
+    # splat-side per-pixel scale: normalization * pad mask * stride^2
+    # splat-subsampling weight, folded in rather than scaling the grid
+    # tensor every iteration.  It rides the packed attrs planes.
+    b_scale = b_scale * float(plan.stride ** 2)
+    # Packed per-pixel attrs (one DMA stream for the step/splat kernels
+    # instead of five — they are DMA-issue-bound; see kernels/crf_fused.py).
+    # The label row is only consumed on the hard-label serving path.
+    lab_row = (labels_c.astype(jnp.float32) if labels_c is not None
+               else jnp.zeros_like(gn_c))
+    attrs = jnp.concatenate(
+        [plan.rgb, gn_c, b_norm, b_self, lab_row, b_scale],
+        axis=1)                                          # (B*Z, 8, P) f32
+    attrs_sub = plan.subsample(attrs, _cf.ATTR_ROWS) if plan.stride > 1 \
+        else attrs
+    unary_b = None if unary_c is None else unary_c.astype(bf)
 
-    def body(Q, A):
+    def body(Q, A, Q_sub):
         # spatial message: A = Q * g_norm arrives pre-multiplied from the
         # step kernel; self-exclusion + normalization happen inside the
         # fused step kernel
         f_gauss = spatial(A)
         # bilateral splat: Q*b_norm (and the pad mask) folded into the kernel
         if plan.stride > 1:
-            G = splat_planes(plan.rgb_sub, plan.subsample(Q, L), sub_scale,
+            G = splat_planes(attrs_sub, Q_sub,
                              nc=plan.nc, L=L, inv_step=plan.inv_step,
                              interpret=plan.interpret)
         else:
-            G = splat_planes(plan.rgb, Q, sub_scale, nc=plan.nc, L=L,
+            G = splat_planes(attrs, Q, nc=plan.nc, L=L,
                              inv_step=plan.inv_step,
                              interpret=plan.interpret)
         G = plan.z_blur(G.astype(bf))  # half-width grid through blur+slice
         # fused: color blurs + slice + messages + compatibilities + softmax
-        return mf_step_planes(
-            plan.rgb, G, plan.Brg, unary_b, f_gauss, Q, gn_c, b_norm,
-            b_self, nc=plan.nc, L=L, inv_step=plan.inv_step,
-            bb_taps=plan.bb_taps, cg=float(cfg.compat_gaussian),
-            cb=float(cfg.compat_bilateral), interpret=plan.interpret)
+        # (+ the next iteration's subsampled splat input — an XLA strided
+        # slice of Q would relayout-copy the whole state per iteration)
+        out = mf_step_planes(
+            attrs, G, plan.Brg, f_gauss, Q, unary_b, nc=plan.nc, L=L,
+            inv_step=plan.inv_step, bb_taps=plan.bb_taps,
+            cg=float(cfg.compat_gaussian), cb=float(cfg.compat_bilateral),
+            n_energy=n_energy, p_energy=p_energy, sub_stride=plan.stride,
+            cs_y=plan.cs_y, cs_x=plan.cs_x, interpret=plan.interpret)
+        if len(out) == 3:
+            return out
+        return out[0], out[1], (plan.subsample(out[0], L)
+                                if plan.stride > 1 else None)
 
     # static unroll: a lax.scan carry of the (B*Z, L, P) state inserts
     # whole-state copies at every iteration boundary (profiled as ~15% of
     # device time); n_iters is small and static
-    Q = jax.nn.softmax(-unary_c.astype(jnp.float32), axis=1).astype(bf)
+    if unary_c is None:
+        unary0 = unary_planes(labels_c, n_labels, cfg.gt_prob,
+                              zero_unsure=False)
+    else:
+        unary0 = unary_c
+    Q = jax.nn.softmax(-unary0.astype(jnp.float32), axis=1).astype(bf)
     A = Q * gn_b
+    Q_sub = plan.subsample(Q, L) if plan.stride > 1 else None
     for _ in range(cfg.n_iters):
-        Q, A = body(Q, A)
+        Q, A, Q_sub = body(Q, A, Q_sub)
     return Q.astype(jnp.float32)
 
 
@@ -609,7 +641,8 @@ def mean_field(im: jnp.ndarray, unary: jnp.ndarray, cfg: CrfConfig,
         plan = _PallasPlan(im[None], cfg.sxy_bilateral, cfg.srgb,
                            cfg.color_step, cfg.splat_stride)
         u_img = jnp.moveaxis(unary.reshape(h, w, n_labels), -1, 0)[None]
-        Qc = _mean_field_planes(plan, plan.cells_v(u_img), cfg, n_labels)
+        Qc = _mean_field_planes(plan, cfg, n_labels,
+                                unary_c=plan.cells_v(u_img))
         q_img = plan.uncells_v(Qc, n_labels)                 # (1, L, H, W)
         return jnp.moveaxis(q_img[0], 0, -1).reshape(-1, n_labels)
     g_norm = gaussian_norm((h, w), cfg.sxy_gaussian)
@@ -677,9 +710,7 @@ def mean_field_batched(imgs: jnp.ndarray, masks: jnp.ndarray,
         plan = _PallasPlan(imgs.astype(jnp.float32), cfg.sxy_bilateral,
                            cfg.srgb, cfg.color_step, cfg.splat_stride)
         labels_c = plan.cells_v(masks[:, None].astype(jnp.int32))
-        U = unary_planes(labels_c, n_labels, cfg.gt_prob, zero_unsure=False,
-                         dtype=jnp.bfloat16)
-        Q = _mean_field_planes(plan, U, cfg, n_labels)
+        Q = _mean_field_planes(plan, cfg, n_labels, labels_c=labels_c)
         pred_c = jnp.argmax(Q, axis=1, keepdims=True)    # (B*Z, 1, P)
         return plan.uncells_v(pred_c, 1)[:, 0]           # (B, H, W)
 

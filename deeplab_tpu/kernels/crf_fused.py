@@ -74,6 +74,15 @@ def _c_pad(nc: int) -> int:
     return -(-C // 128) * 128
 
 
+def _d_pad(nc: int, L: int) -> int:
+    """The grid's d = b*L + l axis padded to the 16-sublane bf16 tile, for
+    the same free-bitcast reason as ``_c_pad``: with D = nc*L = 189 the
+    flatten around the cross-cell blur was a real 2x-copy per iteration
+    (profiled ~4% of CRF time).  The pad rows are written as zeros by the
+    splat and never read back by the slice."""
+    return -(-(nc * L) // 16) * 16
+
+
 def _t_rg_row(rgb_ref, inv_step: float, nc: int):
     """Joint (r, g) splat factor, (C_pad, CHUNK) f32, c = r*nc + g; rows
     past nc*nc are zeroed (they exist only for lane alignment).
@@ -104,18 +113,29 @@ def _b_weight(bb, fb, b: int):
     return jnp.maximum(1.0 - jnp.abs(coord - b), 0.0)
 
 
-def _splat_kernel(rgb_ref, v_ref, n_ref, out_ref, *, nc, L, inv_step):
+def _splat_kernel(rgb_ref, v_ref, out_ref, *, nc, L, inv_step,
+                  n_ref=None, packed_scale=False):
     k = pl.program_id(1)
     t_rg = _t_rg_row(rgb_ref, inv_step, nc).astype(jnp.bfloat16)  # (C, CHUNK)
     t_rg_c = jnp.swapaxes(t_rg, 0, 1)                             # (CHUNK, C)
     bb, fb = _base_frac(rgb_ref[0, 2:3], inv_step)
-    # per-pixel scale (the mean-field normalization) folded into the splat
-    vb = (v_ref[0] * n_ref[0]).astype(jnp.bfloat16)               # (L, CHUNK)
+    # per-pixel scale (the mean-field normalization) folded into the splat;
+    # on the packed path it rides the attrs block instead of its own stream
+    if packed_scale:
+        scale = rgb_ref[0, ATTR_BSCALE:ATTR_BSCALE + 1]
+    else:
+        scale = n_ref[0]
+    vb = (v_ref[0] * scale).astype(jnp.bfloat16)                  # (L, CHUNK)
     t_lb = jnp.concatenate(
         [vb * _b_weight(bb, fb, b).astype(jnp.bfloat16) for b in range(nc)],
         axis=0)                                                   # (D, CHUNK)
     contrib = jnp.dot(t_lb, t_rg_c,
                       preferred_element_type=jnp.float32)         # (D, C_pad)
+    d_pad = out_ref.shape[1] - nc * L
+    if d_pad:  # zero the D-alignment pad rows (see _d_pad)
+        contrib = jnp.concatenate(
+            [contrib, jnp.zeros((d_pad, contrib.shape[1]), contrib.dtype)],
+            axis=0)
 
     @pl.when(k == 0)
     def _():
@@ -137,8 +157,9 @@ def _slice_kernel(rgb_ref, g_ref, brg_ref, out_ref, *, nc, L, inv_step,
 def _blur_slice(g_ref, brg_ref, rgb_ref, *, nc, L, inv_step, bb_taps):
     """Shared slice body: fused color blur of the cell grid + slice.
     Returns the filtered values (L, CHUNK) f32.  The grid may arrive bf16
-    (the splat accumulated f32; the z-blur ships it back at half width)."""
-    g = jnp.dot(g_ref[0].astype(jnp.bfloat16),
+    (the splat accumulated f32; the z-blur ships it back at half width);
+    its d axis may carry ``_d_pad`` alignment rows (dropped here)."""
+    g = jnp.dot(g_ref[0, :nc * L].astype(jnp.bfloat16),
                 brg_ref[:].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)               # (D, C)
     radius = len(bb_taps) // 2
@@ -163,34 +184,88 @@ def _blur_slice(g_ref, brg_ref, rgb_ref, *, nc, L, inv_step, bb_taps):
     return out                                                    # (L, CHUNK)
 
 
-def _mf_step_kernel(rgb_ref, g_ref, brg_ref, u_ref, fg_ref, q_ref, gn_ref,
-                    bn_ref, bs_ref, out_ref, out_a_ref, *, nc, L, inv_step,
-                    bb_taps, cg, cb):
+def _mf_step_kernel(at_ref, g_ref, brg_ref, fg_ref, q_ref, out_ref,
+                    out_a_ref, *, nc, L, inv_step, bb_taps, cg, cb,
+                    n_energy, p_energy, u_ref=None, out_sub_ref=None,
+                    stride=1, cs_y=0, cs_x=0):
     """Fused mean-field iteration tail: slice + both message normalizations
     + compatibility combine + softmax -> Q_next.  One HBM write per
     iteration instead of five round-trips through XLA elementwise.  Also
     emits A = Q_next * g_norm — the next iteration's spatial-filter input —
-    saving that elementwise pass too."""
-    filt = _blur_slice(g_ref, brg_ref, rgb_ref, nc=nc, L=L,
+    saving that elementwise pass too.
+
+    Operands ride the packed attrs planes (see ``ATTR_*``): the rgb rows
+    feed the slice, the normalization rows feed the messages, and — on the
+    serving path — the unary is rebuilt in-kernel from the label row
+    (two-level ``unary_from_labels`` energies are static scalars), so the
+    (L, P) unary tensor is never streamed.  Measured: the kernel is
+    DMA-issue-bound (~0.8 us per operand stream per grid step), so folding
+    five streams into one and dropping the unary stream is worth ~25%."""
+    filt = _blur_slice(g_ref, brg_ref, at_ref, nc=nc, L=L,
                        inv_step=inv_step, bb_taps=bb_taps)
     # inputs may be stored bf16 (HBM traffic); all arithmetic in f32
     q = q_ref[0].astype(jnp.float32)
-    gn = gn_ref[0]
-    bn = bn_ref[0]
+    gn = at_ref[0, ATTR_GN:ATTR_GN + 1]
+    bn = at_ref[0, ATTR_BN:ATTR_BN + 1]
+    if u_ref is None:
+        lab = at_ref[0, ATTR_LABEL:ATTR_LABEL + 1]
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0).astype(
+            jnp.float32)
+        u = jnp.where(iota_l == lab, p_energy, n_energy)
+    else:
+        u = u_ref[0].astype(jnp.float32)
     # spatial message: fg is the raw filtered (Q * gn); exclude self, scale
     msg_g = (fg_ref[0].astype(jnp.float32) - q * gn) * gn
     # bilateral message: filt already excludes nothing; remove self-weight
-    msg_b = (filt - bs_ref[0] * bn * q) * bn
-    logits = -u_ref[0].astype(jnp.float32) + cg * msg_g + cb * msg_b
+    msg_b = (filt - at_ref[0, ATTR_BSELF:ATTR_BSELF + 1] * bn * q) * bn
+    logits = -u + cg * msg_g + cb * msg_b
     mx = jnp.max(logits, axis=0, keepdims=True)
     e = jnp.exp(logits - mx)
     q_next = e / jnp.sum(e, axis=0, keepdims=True)
     out_ref[0] = q_next.astype(out_ref.dtype)
     out_a_ref[0] = (q_next * gn).astype(out_a_ref.dtype)
+    if out_sub_ref is not None:
+        # next iteration's splat input, subsampled in-kernel: the XLA
+        # strided-slice alternative forces a whole-Q relayout copy per
+        # iteration (profiled ~11% of CRF time).  y-stride: regroup the
+        # contiguous (cs_y, cs_x) pixel block to (cs_y/s, s*cs_x) and keep
+        # the first cs_x lanes (a free sublane-group reshape+slice);
+        # x-stride: per y-group (cs_x, cs_x/s) lane-selection matmuls,
+        # lane-concatenated in row-major subsample order (a direct
+        # (L*ys, xs) -> (L, ys*xs) shape cast is a sublane->lane merge
+        # Mosaic cannot lower).
+        L_ = q_next.shape[0]
+        ys, xs = cs_y // stride, cs_x // stride
+        qy = q_next.reshape(L_, ys, stride * cs_x)[:, :, :cs_x]
+        iota_i = jax.lax.broadcasted_iota(jnp.int32, (cs_x, xs), 0)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (cs_x, xs), 1)
+        sel = (iota_i == iota_j * stride).astype(jnp.bfloat16)
+        # one small dot per y-group: batching them into a single (ys*L, .)
+        # matmul is NOT possible — the per-group row slices of its result
+        # start at 21-row (non-sublane-aligned) offsets, which Mosaic's
+        # lane-concat cannot take
+        pieces = [jnp.dot(qy[:, j].astype(jnp.bfloat16), sel,
+                          preferred_element_type=jnp.float32)
+                  for j in range(ys)]
+        out_sub_ref[0] = jnp.concatenate(pieces, axis=1).astype(
+            out_sub_ref.dtype)
 
 
-def _rgb_spec(chunk):
-    return pl.BlockSpec((1, 3, chunk), lambda z, k: (z, 0, k),
+# Packed per-pixel attribute planes, (Z, 8, P) f32.  The rgb rows already
+# cost an 8-sublane tile in HBM/DMA; the 5 pad rows carry every other
+# per-pixel operand of the iteration kernels for free (one DMA stream
+# instead of five).
+ATTR_RGB = 0      # rows 0-2: r, g, b in 0-255
+ATTR_GN = 3       # spatial-Gaussian normalization 1/sqrt(ksum)
+ATTR_BN = 4       # bilateral normalization 1/sqrt(ksum)
+ATTR_BSELF = 5    # bilateral self-weight
+ATTR_LABEL = 6    # hard label (exact small ints in f32)
+ATTR_BSCALE = 7   # splat-side scale: b_norm * valid * stride^2
+ATTR_ROWS = 8
+
+
+def _rgb_spec(chunk, rows: int = 3):
+    return pl.BlockSpec((1, rows, chunk), lambda z, k: (z, 0, k),
                         memory_space=pltpu.VMEM)
 
 
@@ -242,19 +317,28 @@ def _y_halo_matrix(cs_y: int, r: int, taps) -> "object":
 
 
 def _blur_row_kernel(up_ref, c_ref, dn_ref, ty_ref, tl_ref, t0_ref, tr_ref,
-                     out_ref, *, ny, r, strip):
+                     out_ref, *, ny, r, strip, cs_y, cs_x):
     """Fused y+x blur of one full cell row (nx cells).  up/dn are thin
-    ``strip``-row neighbor slices; left/right halos live inside the block."""
+    ``strip``-row neighbor slices; left/right halos live inside the block.
+
+    The refs are (nx, L, P)-shaped block views of the 3-D cell-plane
+    tensor — pixel-group splits of the contiguous minor P axis are free
+    in-kernel, where an XLA-level 3-D <-> 5-D reshape of the state would
+    drop/re-add the L-axis sublane padding = a full-tensor copy per
+    iteration (profiled at ~20% of CRF device time)."""
     zr = pl.program_id(0)
     iy = zr % ny
     bf = jnp.bfloat16
     m_up = jnp.where(iy > 0, 1.0, 0.0).astype(bf)
     m_dn = jnp.where(iy < ny - 1, 1.0, 0.0).astype(bf)
-    nx, L, cs_y, cs_x = c_ref.shape[1:]
+    nx, L = c_ref.shape[:2]
+    c = c_ref[...].reshape(nx, L, cs_y, cs_x)
+    up = up_ref[...].reshape(nx, L, strip, cs_x)
+    dn = dn_ref[...].reshape(nx, L, strip, cs_x)
     halo = jnp.concatenate(
-        [up_ref[0, :, :, strip - r:].astype(bf) * m_up,
-         c_ref[0].astype(bf),
-         dn_ref[0, :, :, :r].astype(bf) * m_dn], axis=2)  # (nx, L, Yh, X)
+        [up[:, :, strip - r:].astype(bf) * m_up,
+         c.astype(bf),
+         dn[:, :, :r].astype(bf) * m_dn], axis=2)         # (nx, L, Yh, X)
     ht = jnp.swapaxes(halo, 2, 3)                         # (nx, L, X, Yh)
     t1 = jnp.dot(ht.reshape(nx * L * cs_x, cs_y + 2 * r),
                  ty_ref[:].astype(bf),
@@ -269,42 +353,49 @@ def _blur_row_kernel(up_ref, c_ref, dn_ref, ty_ref, tl_ref, t0_ref, tr_ref,
             acc += dot(flat(n - 1), tl)
         if n < nx - 1:
             acc += dot(flat(n + 1), tr)
-        out_ref[0, n] = acc.reshape(L, cs_y, cs_x).astype(out_ref.dtype)
+        out_ref[n] = acc.reshape(L, cs_y * cs_x).astype(out_ref.dtype)
 
 
-def _blur_y_kernel(up_ref, c_ref, dn_ref, ty_ref, out_ref, *, ny, nx, Z, r):
+def _blur_y_kernel(up_ref, c_ref, dn_ref, ty_ref, out_ref, *, ny, nx, Z, r,
+                   strip, cs_y, cs_x):
     """Fallback per-cell y pass (rows too large for the fused row kernel):
-    transpose -> canonical matmul -> transpose (see module design rules)."""
+    transpose -> canonical matmul -> transpose (see module design rules).
+    Refs are (1, L, P) / (1, L, strip*cs_x) 3-D blocks (see
+    _blur_row_kernel); the r halo rows are sliced from the strips."""
     z = pl.program_id(0)
     iy = (z % Z) // nx
     bf = jnp.bfloat16
     m_up = jnp.where(iy > 0, 1.0, 0.0).astype(bf)
     m_dn = jnp.where(iy < ny - 1, 1.0, 0.0).astype(bf)
-    L, cs_y, cs_x = c_ref.shape[1:]
+    L = c_ref.shape[1]
+    c = c_ref[0].reshape(L, cs_y, cs_x)
+    up = up_ref[0].reshape(L, strip, cs_x)
+    dn = dn_ref[0].reshape(L, strip, cs_x)
     halo = jnp.concatenate(
-        [up_ref[0, :, cs_y - r:].astype(bf) * m_up, c_ref[0].astype(bf),
-         dn_ref[0, :, :r].astype(bf) * m_dn], axis=1)     # (L, Yh, X)
+        [up[:, strip - r:].astype(bf) * m_up, c.astype(bf),
+         dn[:, :r].astype(bf) * m_dn],
+        axis=1)                                           # (L, Yh, X)
     ht = jnp.swapaxes(halo, 1, 2)                         # (L, X, Yh)
     t1 = jnp.dot(ht.reshape(L * cs_x, cs_y + 2 * r),
                  ty_ref[:].astype(bf),
                  preferred_element_type=jnp.float32)
-    out_ref[0] = jnp.swapaxes(t1.reshape(L, cs_x, cs_y), 1, 2).astype(
-        out_ref.dtype)
+    out_ref[0] = jnp.swapaxes(t1.reshape(L, cs_x, cs_y), 1, 2).reshape(
+        L, cs_y * cs_x).astype(out_ref.dtype)
 
 
 def _blur_x_kernel(lf_ref, c_ref, rt_ref, tl_ref, t0_ref, tr_ref, out_ref,
-                   *, nx, Z):
+                   *, nx, Z, cs_y, cs_x):
     z = pl.program_id(0)
     ix = z % nx
     m_lf = jnp.where(ix > 0, 1.0, 0.0).astype(jnp.float32)
     m_rt = jnp.where(ix < nx - 1, 1.0, 0.0).astype(jnp.float32)
-    L, cs_y, cs_x = c_ref.shape[1:]
+    L = c_ref.shape[1]
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     flat = lambda ref: ref[0].reshape(L * cs_y, cs_x).astype(jnp.bfloat16)
     acc = dot(flat(c_ref), t0_ref[:].astype(jnp.bfloat16))
     acc += dot(flat(lf_ref), tl_ref[:].astype(jnp.bfloat16)) * m_lf
     acc += dot(flat(rt_ref), tr_ref[:].astype(jnp.bfloat16)) * m_rt
-    out_ref[0] = acc.reshape(L, cs_y, cs_x).astype(out_ref.dtype)
+    out_ref[0] = acc.reshape(L, cs_y * cs_x).astype(out_ref.dtype)
 
 
 def _x_blur_blocks(cs_x: int, taps) -> "tuple":
@@ -357,65 +448,78 @@ def gaussian_blur_planes(a, *, taps: tuple, B: int, ny: int, nx: int,
                          memory_space=pltpu.VMEM)
     arb = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
 
+    # All block specs carve the 3-D (BZ, L, P) tensor directly — strips of
+    # image rows are contiguous P-subranges, so the kernels reshape their
+    # blocks for free and no XLA 3-D <-> multi-D relayout of the (L-padded)
+    # state ever happens (it profiled as ~20% of CRF device time).
     strip = 16  # sublane-tile-aligned thin halo slice
     row_bytes = nx * L * P * a.dtype.itemsize
     if r <= strip <= cs_y and cs_y % strip == 0 \
             and row_bytes <= _ROW_BLOCK_BYTES:
-        a5 = a.reshape(B * ny, nx, L, cs_y, cs_x)
-        rspec = pl.BlockSpec((1, nx, L, cs_y, cs_x),
-                             lambda z: (z, 0, 0, 0, 0),
+        rspec = pl.BlockSpec((nx, L, P), lambda z: (z, 0, 0),
                              memory_space=pltpu.VMEM)
         hi = B * ny - 1
-        up = pl.BlockSpec((1, nx, L, strip, cs_x),
-                          lambda z: (jnp.clip(z - 1, 0, hi), 0, 0,
-                                     cs_y // strip - 1, 0),
+        sp = strip * cs_x
+        up = pl.BlockSpec((nx, L, sp),
+                          lambda z: (jnp.clip(z - 1, 0, hi), 0,
+                                     cs_y // strip - 1),
                           memory_space=pltpu.VMEM)
-        dn = pl.BlockSpec((1, nx, L, strip, cs_x),
-                          lambda z: (jnp.clip(z + 1, 0, hi), 0, 0, 0, 0),
+        dn = pl.BlockSpec((nx, L, sp),
+                          lambda z: (jnp.clip(z + 1, 0, hi), 0, 0),
                           memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            functools.partial(_blur_row_kernel, ny=ny, r=r, strip=strip),
+        return pl.pallas_call(
+            functools.partial(_blur_row_kernel, ny=ny, r=r, strip=strip,
+                              cs_y=cs_y, cs_x=cs_x),
             grid=(B * ny,),
             in_specs=[up, rspec, dn, tyspec, mspec, mspec, mspec],
             out_specs=rspec,
-            out_shape=jax.ShapeDtypeStruct(a5.shape, a.dtype),
+            out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
             compiler_params=arb,
             interpret=interpret,
-        )(a5, a5, a5, ty, tl, t0, tr)
-        return out.reshape(BZ, L, P)
+        )(a, a, a, ty, tl, t0, tr)
 
-    a4 = a.reshape(BZ, L, cs_y, cs_x)
-    spec = pl.BlockSpec((1, L, cs_y, cs_x), lambda z: (z, 0, 0, 0),
+    spec = pl.BlockSpec((1, L, P), lambda z: (z, 0, 0),
                         memory_space=pltpu.VMEM)
 
     def shifted(dz, lo, hi):
         return pl.BlockSpec(
-            (1, L, cs_y, cs_x),
-            lambda z: (jnp.clip(z + dz, lo, hi), 0, 0, 0),
+            (1, L, P),
+            lambda z: (jnp.clip(z + dz, lo, hi), 0, 0),
             memory_space=pltpu.VMEM)
 
+    # neighbor strip: the smallest divisor of cs_y that covers the r halo
+    # rows (block indexing must tile P exactly)
+    strip_y = next(s for s in range(r, cs_y + 1) if cs_y % s == 0)
+    sp = strip_y * cs_x
+    up_y = pl.BlockSpec((1, L, sp),
+                        lambda z: (jnp.clip(z - nx, 0, BZ - 1), 0,
+                                   cs_y // strip_y - 1),
+                        memory_space=pltpu.VMEM)
+    dn_y = pl.BlockSpec((1, L, sp),
+                        lambda z: (jnp.clip(z + nx, 0, BZ - 1), 0, 0),
+                        memory_space=pltpu.VMEM)
     fy = pl.pallas_call(
-        functools.partial(_blur_y_kernel, ny=ny, nx=nx, Z=Z, r=r),
+        functools.partial(_blur_y_kernel, ny=ny, nx=nx, Z=Z, r=r,
+                          strip=strip_y, cs_y=cs_y, cs_x=cs_x),
         grid=(BZ,),
-        in_specs=[shifted(-nx, 0, BZ - 1), spec, shifted(nx, 0, BZ - 1),
-                  tyspec],
+        in_specs=[up_y, spec, dn_y, tyspec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(a4.shape, a.dtype),
+        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         compiler_params=arb,
         interpret=interpret,
-    )(a4, a4, a4, ty)
+    )(a, a, a, ty)
 
     fx = pl.pallas_call(
-        functools.partial(_blur_x_kernel, nx=nx, Z=Z),
+        functools.partial(_blur_x_kernel, nx=nx, Z=Z, cs_y=cs_y, cs_x=cs_x),
         grid=(BZ,),
         in_specs=[shifted(-1, 0, BZ - 1), spec, shifted(1, 0, BZ - 1),
                   mspec, mspec, mspec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(a4.shape, a.dtype),
+        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         compiler_params=arb,
         interpret=interpret,
     )(fy, fy, fy, tl, t0, tr)
-    return fx.reshape(BZ, L, P)
+    return fx
 
 
 @functools.partial(jax.jit,
@@ -424,32 +528,50 @@ def gaussian_blur_planes(a, *, taps: tuple, B: int, ny: int, nx: int,
 def splat_planes(rgb, values, scale=None, *, nc: int, L: int,
                  inv_step: float, chunk: int = 0,
                  interpret: bool = False) -> jnp.ndarray:
-    """rgb: (Z, 3, P) f32 0-255 planes; values: (Z, L, P); scale: optional
-    (Z, 1, P) per-pixel multiplier folded into the splat (the mean-field
-    normalization).  Returns the transposed splatted grid G: (Z, D, C) f32
-    with D = nc*L (d = b*L + l), C = nc*nc (c = r*nc + g)."""
-    Z, _, P = rgb.shape
+    """rgb: (Z, 3, P) f32 0-255 planes OR packed (Z, 8, P) attrs planes —
+    in the packed case the splat scale is the ``ATTR_BSCALE`` row (one DMA
+    stream instead of two) and ``scale`` must be None.  values: (Z, L, P);
+    scale: optional (Z, 1, P) per-pixel multiplier folded into the splat
+    (the mean-field normalization).  Returns the transposed splatted grid
+    G: (Z, D, C) f32 with D = nc*L (d = b*L + l), C = nc*nc (c = r*nc+g)."""
+    Z, rows, P = rgb.shape
     chunk = chunk or P
     assert P % chunk == 0, (P, chunk)
     assert nc >= 255.0 * inv_step + 1, (nc, inv_step)  # hat-pad invariant
-    if scale is None:
-        scale = jnp.ones((Z, 1, P), jnp.float32)
+    packed = rows == ATTR_ROWS
+    out_spec = pl.BlockSpec((1, _d_pad(nc, L), _c_pad(nc)),
+                            lambda z, k: (z, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, L, chunk), lambda z, k: (z, 0, k),
+                         memory_space=pltpu.VMEM)
+    if packed:
+        assert scale is None
+        kern = functools.partial(_splat_kernel, nc=nc, L=L,
+                                 inv_step=inv_step, packed_scale=True)
+        in_specs = [_rgb_spec(chunk, ATTR_ROWS), vspec]
+        operands = [rgb, values]
+    else:
+        if scale is None:
+            scale = jnp.ones((Z, 1, P), jnp.float32)
+
+        def kern(rgb_ref, v_ref, n_ref, out_ref):
+            _splat_kernel(rgb_ref, v_ref, out_ref, nc=nc, L=L,
+                          inv_step=inv_step, n_ref=n_ref)
+        in_specs = [_rgb_spec(chunk), vspec,
+                    pl.BlockSpec((1, 1, chunk), lambda z, k: (z, 0, k),
+                                 memory_space=pltpu.VMEM)]
+        operands = [rgb, values, scale.astype(jnp.float32)]
     return pl.pallas_call(
-        functools.partial(_splat_kernel, nc=nc, L=L, inv_step=inv_step),
+        kern,
         grid=(Z, P // chunk),
-        in_specs=[_rgb_spec(chunk),
-                  pl.BlockSpec((1, L, chunk), lambda z, k: (z, 0, k),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, chunk), lambda z, k: (z, 0, k),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, nc * L, _c_pad(nc)),
-                               lambda z, k: (z, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Z, nc * L, _c_pad(nc)), jnp.float32),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Z, _d_pad(nc, L), _c_pad(nc)),
+                                       jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(rgb, values, scale.astype(jnp.float32))
+    )(*operands)
 
 
 @functools.partial(jax.jit,
@@ -472,7 +594,7 @@ def slice_planes(rgb, grid_t, brg, *, nc: int, L: int, inv_step: float,
                           bb_taps=bb_taps),
         grid=(Z, P // chunk),
         in_specs=[_rgb_spec(chunk),
-                  pl.BlockSpec((1, nc * L, C), lambda z, k: (z, 0, 0),
+                  pl.BlockSpec((1, _d_pad(nc, L), C), lambda z, k: (z, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((C, C), lambda z, k: (0, 0),
                                memory_space=pltpu.VMEM)],
@@ -487,47 +609,84 @@ def slice_planes(rgb, grid_t, brg, *, nc: int, L: int, inv_step: float,
 
 @functools.partial(jax.jit,
                    static_argnames=("nc", "L", "inv_step", "bb_taps",
-                                    "cg", "cb", "chunk", "interpret"))
-def mf_step_planes(rgb, grid_t, brg, unary, f_gauss, q, g_norm, b_norm,
-                   b_self, *, nc: int, L: int, inv_step: float,
-                   bb_taps: tuple, cg: float, cb: float, chunk: int = 0,
-                   interpret: bool = False) -> jnp.ndarray:
+                                    "cg", "cb", "n_energy", "p_energy",
+                                    "sub_stride", "cs_y", "cs_x",
+                                    "chunk", "interpret"))
+def mf_step_planes(attrs, grid_t, brg, f_gauss, q, unary=None, *, nc: int,
+                   L: int, inv_step: float, bb_taps: tuple, cg: float,
+                   cb: float, n_energy: float = 0.0, p_energy: float = 0.0,
+                   sub_stride: int = 1, cs_y: int = 0, cs_x: int = 0,
+                   chunk: int = 0, interpret: bool = False) -> jnp.ndarray:
     """Fused mean-field iteration tail (see ``_mf_step_kernel``).
 
-    rgb (Z,3,P); grid_t (Z,D,C) z-blurred (f32 or bf16); brg (C,C);
-    unary/q (Z,L,P); f_gauss (Z,L,P) = spatial-filtered (q * g_norm);
-    g_norm/b_norm/b_self (Z,1,P).  Returns (Q_next, Q_next * g_norm),
-    both (Z,L,P) in q's dtype.
+    attrs (Z,8,P) f32 packed per-pixel planes (``ATTR_*`` rows);
+    grid_t (Z,D,C) z-blurred (f32 or bf16); brg (C,C); q (Z,L,P);
+    f_gauss (Z,L,P) = spatial-filtered (q * g_norm).  The unary is built
+    in-kernel from the attrs label row with the static two-level
+    ``(n_energy, p_energy)`` energies (serving path); pass an explicit
+    ``unary`` (Z,L,P) tensor instead for arbitrary caller energies.
+    Returns (Q_next, Q_next * g_norm), both (Z,L,P) in q's dtype; with
+    ``sub_stride`` > 1 (requires cell geometry ``cs_y``/``cs_x``) a third
+    output (Z, L, P/stride^2) — Q_next subsampled every stride-th pixel
+    per axis, the next iteration's splat input — is appended (an XLA
+    strided slice would relayout-copy the whole Q tensor per iteration).
     """
-    Z, _, P = rgb.shape
+    Z, rows, P = attrs.shape
+    assert rows == ATTR_ROWS, attrs.shape
     C = _c_pad(nc)
     if not chunk:
         # keep the (D, CHUNK) slice intermediate + elementwise blocks in VMEM
         chunk = P
         while nc * L * chunk * 4 > (6 << 20) and chunk % 2 == 0:
             chunk //= 2
+    sub = sub_stride > 1 and chunk == P and cs_y * cs_x == P \
+        and cs_y % sub_stride == 0 and cs_x % sub_stride == 0
     assert P % chunk == 0, (P, chunk)
     assert nc >= 255.0 * inv_step + 1, (nc, inv_step)  # hat-pad invariant
     lspec = pl.BlockSpec((1, L, chunk), lambda z, k: (z, 0, k),
                          memory_space=pltpu.VMEM)
-    nspec = pl.BlockSpec((1, 1, chunk), lambda z, k: (z, 0, k),
-                         memory_space=pltpu.VMEM)
+    in_specs = [_rgb_spec(chunk, ATTR_ROWS),
+                pl.BlockSpec((1, _d_pad(nc, L), C), lambda z, k: (z, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, C), lambda z, k: (0, 0),
+                             memory_space=pltpu.VMEM),
+                lspec, lspec]
+    operands = [attrs, grid_t, brg.astype(jnp.float32), f_gauss, q]
+    sub_kw = dict(stride=sub_stride, cs_y=cs_y, cs_x=cs_x) if sub else {}
+    n_out = 3 if sub else 2
+
+    if unary is None:
+        def kern(at_ref, g_ref, brg_ref, fg_ref, q_ref, *outs):
+            _mf_step_kernel(at_ref, g_ref, brg_ref, fg_ref, q_ref,
+                            outs[0], outs[1], nc=nc, L=L,
+                            inv_step=inv_step, bb_taps=bb_taps, cg=cg,
+                            cb=cb, n_energy=n_energy, p_energy=p_energy,
+                            out_sub_ref=outs[2] if sub else None, **sub_kw)
+    else:
+        def kern(at_ref, g_ref, brg_ref, fg_ref, q_ref, u_ref, *outs):
+            _mf_step_kernel(at_ref, g_ref, brg_ref, fg_ref, q_ref,
+                            outs[0], outs[1], nc=nc, L=L,
+                            inv_step=inv_step, bb_taps=bb_taps, cg=cg,
+                            cb=cb, n_energy=0.0, p_energy=0.0,
+                            u_ref=u_ref,
+                            out_sub_ref=outs[2] if sub else None, **sub_kw)
+        in_specs.append(lspec)
+        operands.append(unary)
+    out_specs = [lspec, lspec]
+    out_shapes = [jax.ShapeDtypeStruct((Z, L, P), q.dtype),
+                  jax.ShapeDtypeStruct((Z, L, P), q.dtype)]
+    if sub:
+        P_sub = P // (sub_stride * sub_stride)
+        out_specs.append(pl.BlockSpec((1, L, P_sub), lambda z, k: (z, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((Z, L, P_sub), q.dtype))
     return pl.pallas_call(
-        functools.partial(_mf_step_kernel, nc=nc, L=L, inv_step=inv_step,
-                          bb_taps=bb_taps, cg=cg, cb=cb),
+        kern,
         grid=(Z, P // chunk),
-        in_specs=[_rgb_spec(chunk),
-                  pl.BlockSpec((1, nc * L, C), lambda z, k: (z, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((C, C), lambda z, k: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  lspec, lspec, lspec, nspec, nspec, nspec],
-        out_specs=(lspec, lspec),
-        out_shape=(jax.ShapeDtypeStruct((Z, L, P), q.dtype),
-                   jax.ShapeDtypeStruct((Z, L, P), q.dtype)),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(rgb, grid_t, brg.astype(jnp.float32),
-      unary, f_gauss, q, g_norm.astype(jnp.float32),
-      b_norm.astype(jnp.float32), b_self.astype(jnp.float32))
+    )(*operands)

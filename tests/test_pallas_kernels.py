@@ -8,13 +8,14 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from deeplab_tpu.kernels.crf_fused import (_c_pad, mf_step_planes,
+from deeplab_tpu.kernels.crf_fused import (_c_pad, _d_pad, mf_step_planes,
                                            slice_planes, splat_planes)
 from deeplab_tpu.kernels.fused_dw import fused_dw_bn_relu6
 
 Z, P, nc, L = 3, 256, 5, 4
 INV = 1.0 / 64.0   # nc = floor(255*INV) + 2: the production bin-range invariant
 C, Cp, D = nc * nc, _c_pad(nc), nc * L
+Dp = _d_pad(nc, L)
 
 
 def _chan_factor(plane):
@@ -46,9 +47,10 @@ def test_splat_matches_dense(data):
     rgb, V, t_rg, t_lb, _ = data
     G = np.asarray(splat_planes(jnp.asarray(rgb), jnp.asarray(V), nc=nc,
                                 L=L, inv_step=INV, interpret=True))
-    assert G.shape == (Z, D, Cp)
+    assert G.shape == (Z, Dp, Cp)
+    np.testing.assert_array_equal(G[:, D:], 0.0)  # d-pad rows zeroed
     ref = np.einsum("zpd,zpc->zdc", t_lb, t_rg)
-    err = np.abs(G[:, :, :C] - ref).max() / np.abs(ref).max()
+    err = np.abs(G[:, :D, :C] - ref).max() / np.abs(ref).max()
     assert err < 5e-3, err              # bf16 contraction tolerance
     np.testing.assert_array_equal(G[:, :, C:], 0.0)  # lane-pad tail zeroed
 
@@ -61,15 +63,15 @@ def test_splat_scale_folds_per_pixel(data):
                                 jnp.asarray(scale), nc=nc, L=L,
                                 inv_step=INV, interpret=True))
     ref = np.einsum("zpd,zpc->zdc", t_lb * scale.transpose(0, 2, 1), t_rg)
-    err = np.abs(G[:, :, :C] - ref).max() / np.abs(ref).max()
+    err = np.abs(G[:, :D, :C] - ref).max() / np.abs(ref).max()
     assert err < 5e-3, err
 
 
 def test_slice_matches_dense_with_fused_color_blur(data):
     rgb, V, t_rg, t_lb, ab = data
     rng = np.random.RandomState(2)
-    Gt = np.zeros((Z, D, Cp), np.float32)
-    Gt[:, :, :C] = rng.rand(Z, D, C)
+    Gt = np.zeros((Z, Dp, Cp), np.float32)
+    Gt[:, :D, :C] = rng.rand(Z, D, C)
     brg = np.zeros((Cp, Cp), np.float32)
     brg[:C, :C] = rng.rand(C, C)
     bb_taps = (0.25, 1.0, 0.25)
@@ -77,7 +79,7 @@ def test_slice_matches_dense_with_fused_color_blur(data):
                                   jnp.asarray(brg), nc=nc, L=L, inv_step=INV,
                                   bb_taps=bb_taps, interpret=True))
     # reference: rg-blur, then banded b-blur, then slice
-    g = np.einsum("zdc,ck->zdk", Gt[:, :, :C], brg[:C, :C])
+    g = np.einsum("zdc,ck->zdk", Gt[:, :D, :C], brg[:C, :C])
     g4 = g.reshape(Z, nc, L, C)
     gb = np.zeros_like(g4)
     for b in range(nc):
@@ -90,10 +92,19 @@ def test_slice_matches_dense_with_fused_color_blur(data):
     assert err < 1e-2, err
 
 
+def _attrs_of(rgb, gn, bn, bs, lab=None, bscale=None):
+    zeros = np.zeros_like(gn)
+    return np.concatenate(
+        [rgb, gn, bn, bs,
+         zeros if lab is None else lab.astype(np.float32),
+         zeros if bscale is None else bscale], axis=1)
+
+
 def test_mf_step_is_slice_plus_messages_softmax(data):
     rgb, V, _, _, _ = data
     rng = np.random.RandomState(3)
-    Gt = rng.rand(Z, D, Cp).astype(np.float32)
+    Gt = np.zeros((Z, Dp, Cp), np.float32)
+    Gt[:, :D] = rng.rand(Z, D, Cp)
     brg = np.eye(Cp, dtype=np.float32)
     U = rng.rand(Z, L, P).astype(np.float32)
     fg = rng.rand(Z, L, P).astype(np.float32)
@@ -104,10 +115,10 @@ def test_mf_step_is_slice_plus_messages_softmax(data):
     cg, cb = 3.0, 10.0
     kw = dict(nc=nc, L=L, inv_step=INV, bb_taps=(1.0,), cg=cg, cb=cb,
               interpret=True)
-    qn, a = mf_step_planes(jnp.asarray(rgb), jnp.asarray(Gt),
-                           jnp.asarray(brg), jnp.asarray(U),
-                           jnp.asarray(fg), jnp.asarray(q), jnp.asarray(gn),
-                           jnp.asarray(bn), jnp.asarray(bs), **kw)
+    attrs = _attrs_of(rgb, gn, bn, bs)
+    qn, a = mf_step_planes(jnp.asarray(attrs), jnp.asarray(Gt),
+                           jnp.asarray(brg), jnp.asarray(fg),
+                           jnp.asarray(q), jnp.asarray(U), **kw)
     qn, a = np.asarray(qn, np.float32), np.asarray(a, np.float32)
     filt = np.asarray(slice_planes(jnp.asarray(rgb), jnp.asarray(Gt),
                                    jnp.asarray(brg), nc=nc, L=L,
@@ -121,6 +132,58 @@ def test_mf_step_is_slice_plus_messages_softmax(data):
     assert np.abs(qn - ref).max() < 1e-2
     assert np.abs(a - ref * gn).max() < 1e-2
     np.testing.assert_allclose(qn.sum(axis=1), 1.0, rtol=1e-2)
+
+
+def test_mf_step_in_kernel_label_unary_matches_unary_stream(data):
+    """Serving path: the unary rebuilt in-kernel from the packed label row
+    equals streaming the equivalent two-level unary tensor."""
+    import math
+
+    rgb, V, _, _, _ = data
+    rng = np.random.RandomState(4)
+    Gt = np.zeros((Z, Dp, Cp), np.float32)
+    Gt[:, :D] = rng.rand(Z, D, Cp)
+    brg = np.eye(Cp, dtype=np.float32)
+    fg = rng.rand(Z, L, P).astype(np.float32)
+    q = rng.rand(Z, L, P).astype(np.float32)
+    gn = rng.rand(Z, 1, P).astype(np.float32)
+    bn = rng.rand(Z, 1, P).astype(np.float32)
+    bs = rng.rand(Z, 1, P).astype(np.float32)
+    lab = rng.randint(0, L, (Z, 1, P))
+    gt_prob = 0.7
+    n_e = -math.log((1.0 - gt_prob) / (L - 1))
+    p_e = -math.log(gt_prob)
+    U = np.where(lab == np.arange(L, dtype=lab.dtype).reshape(1, L, 1),
+                 p_e, n_e).astype(np.float32)
+    kw = dict(nc=nc, L=L, inv_step=INV, bb_taps=(1.0,), cg=3.0, cb=10.0,
+              interpret=True)
+    attrs = _attrs_of(rgb, gn, bn, bs, lab=lab)
+    got = mf_step_planes(jnp.asarray(attrs), jnp.asarray(Gt),
+                         jnp.asarray(brg), jnp.asarray(fg), jnp.asarray(q),
+                         n_energy=n_e, p_energy=p_e, **kw)
+    want = mf_step_planes(jnp.asarray(attrs), jnp.asarray(Gt),
+                          jnp.asarray(brg), jnp.asarray(fg), jnp.asarray(q),
+                          jnp.asarray(U), **kw)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_splat_packed_attrs_scale_matches_explicit(data):
+    """Packed-attrs splat (scale in the ATTR_BSCALE row) == explicit-scale
+    splat."""
+    rgb, V, _, _, _ = data
+    rng = np.random.RandomState(5)
+    scale = rng.rand(Z, 1, P).astype(np.float32)
+    want = np.asarray(splat_planes(jnp.asarray(rgb), jnp.asarray(V),
+                                   jnp.asarray(scale), nc=nc, L=L,
+                                   inv_step=INV, interpret=True))
+    gn = np.zeros((Z, 1, P), np.float32)
+    attrs = _attrs_of(rgb, gn, gn, gn, bscale=scale)
+    got = np.asarray(splat_planes(jnp.asarray(attrs), jnp.asarray(V),
+                                  nc=nc, L=L, inv_step=INV, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 def test_fused_dw_matches_reference():
