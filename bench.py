@@ -78,8 +78,9 @@ def main():
 
     @jax.jit
     def model_only(params, state, img):
-        probs, _ = model.apply(params, state, img, compute_dtype=jnp.bfloat16)
-        return jnp.argmax(probs.reshape(img.shape[0], 512, 512, 21), axis=-1)
+        # serving argmax path: head logits, no softmax (argmax-invariant)
+        return model.predict_ids(params, state, img,
+                                 compute_dtype=jnp.bfloat16)
 
     @jax.jit
     def crf_only(img, preds):

@@ -44,6 +44,9 @@ class SegNet:
         self.name = ("deeplabv3p" if net == "original" else "deeplabv3p_subpixel")
 
     def forward(self, ctx, img):
+        return self._forward(ctx, img, softmax=True)
+
+    def _forward(self, ctx, img, softmax: bool):
         feats = deeplabv3_forward(ctx, img, backbone=self.backbone,
                                   OS=self.OS, alpha=self.alpha, classes=21,
                                   return_features=True)
@@ -59,8 +62,10 @@ class SegNet:
             x = phase_shift(x, r)
         else:
             raise ValueError(f"unknown net {self.net!r}")
-        x = x.astype(jnp.float32).reshape(x.shape[0], self.sz[0] * self.sz[1], n)
-        return jax.nn.softmax(x, axis=-1)
+        x = x.reshape(x.shape[0], self.sz[0] * self.sz[1], n)
+        if not softmax:
+            return x        # head logits, compute dtype (serving argmax path)
+        return jax.nn.softmax(x.astype(jnp.float32), axis=-1)
 
     def init(self, rng, batch_size: int = 1):
         example = jnp.zeros((batch_size,) + self.sz + (3,), jnp.float32)
@@ -71,6 +76,19 @@ class SegNet:
         return core.apply_model(self.forward, params, state, img,
                                 training=training, rng=rng, frozen=frozen,
                                 compute_dtype=compute_dtype or jnp.float32)
+
+    def predict_ids(self, params, state, img, compute_dtype=None):
+        """Hard (B, H, W) label map for serving: argmax of the head LOGITS.
+        Softmax is per-pixel monotone, so this equals argmax of ``apply``'s
+        probabilities while skipping the softmax + f32 upcast over all
+        H*W*n activations (the serving paths only consume the argmax)."""
+        fn = lambda ctx, im: self._forward(ctx, im, softmax=False)
+        logits, _ = core.apply_model(fn, params, state, img,
+                                     compute_dtype=compute_dtype
+                                     or jnp.float32)
+        b = img.shape[0]
+        return jnp.argmax(
+            logits.reshape((b,) + self.sz + (self.n_classes,)), axis=-1)
 
 
 class SegModel:

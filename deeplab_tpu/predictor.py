@@ -40,10 +40,11 @@ class Predictor:
         self._hw = (h, w)
 
         def model_preds(params, state, img):
-            probs, _ = net.apply(params, state, img,
-                                 compute_dtype=compute_dtype)
-            return jnp.argmax(
-                probs.reshape(img.shape[0], h, w, self.n_classes), axis=-1)
+            # argmax of the head logits — equals argmax of apply()'s
+            # softmax output while skipping the softmax + f32 upcast over
+            # every pixel (SegNet.predict_ids)
+            return net.predict_ids(params, state, img,
+                                   compute_dtype=compute_dtype)
 
         def pipeline(params, state, img):
             preds = model_preds(params, state, img)

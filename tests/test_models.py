@@ -146,3 +146,30 @@ def test_param_counts_plausible(mobilenet_model):
     _, params, _ = mobilenet_model
     n = param_count(params)
     assert 2.0e6 < n < 2.3e6  # MobileNetV2-DeepLab ~2.1M trainable+BN params
+
+
+def test_predict_ids_matches_apply_argmax():
+    """SegNet.predict_ids (logits path, no softmax) must equal the argmax
+    of apply()'s softmax probabilities — softmax is per-pixel monotone, so
+    the serving shortcut may not change a single label."""
+    from deeplab_tpu.models.seg_model import SegNet
+
+    net = SegNet((64, 64), 5, "mobilenetv2", "original")
+    params, state = net.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    # freshly-initialized logits are ~1e-11 and softmax rounds them to an
+    # exactly-uniform distribution (argmax ties) — blow the head kernel up
+    # so the tiny per-pixel trunk variations become O(1) logit differences
+    # with a well-defined, spatially-varying winner
+    params = dict(params)
+    head = dict(params["conv_upsample"])
+    head["bias"] = jnp.zeros(5, jnp.float32)
+    head["kernel"] = jnp.asarray(
+        rng.randn(*head["kernel"].shape) * 1e10, jnp.float32)
+    params["conv_upsample"] = head
+    X = jnp.asarray(rng.rand(2, 64, 64, 3) * 255, jnp.float32)
+    for dt in (jnp.float32, jnp.bfloat16):
+        probs, _ = net.apply(params, state, X, compute_dtype=dt)
+        want = np.argmax(np.asarray(probs).reshape(2, 64, 64, 5), -1)
+        got = np.asarray(net.predict_ids(params, state, X, compute_dtype=dt))
+        np.testing.assert_array_equal(got, want)
