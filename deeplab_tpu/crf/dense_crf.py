@@ -480,11 +480,14 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
     taps_t = tuple(float(t) for t in taps)
     fuse_spatial = len(taps) // 2 <= min(plan.cs_y, plan.cs_x)
 
-    def spatial(A):
+    def spatial(Q, gn):
+        """blur(Q * g_norm) — the multiply happens inside the blur kernel
+        (one fewer padded (L, P) stream out of the step kernel)."""
         if fuse_spatial:
             return gaussian_blur_planes(
-                A, taps=taps_t, B=plan.B, ny=plan.ny, nx=plan.nx,
+                Q, gn, taps=taps_t, B=plan.B, ny=plan.ny, nx=plan.nx,
                 cs_y=plan.cs_y, cs_x=plan.cs_x, interpret=plan.interpret)
+        A = Q * gn.astype(Q.dtype)
         return plan.cells_v(_sep_conv_bwh_to_bhw(plan.uncells_v_wh(A, L),
                                                  taps))
 
@@ -492,7 +495,6 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
     # HBM traffic of every transform/elementwise pass); all kernel-internal
     # arithmetic and the normalization terms stay f32
     bf = jnp.bfloat16
-    gn_b = gn_c.astype(bf)
     # splat-side per-pixel scale: normalization * pad mask * stride^2
     # splat-subsampling weight, folded in rather than scaling the grid
     # tensor every iteration.  It rides the packed attrs planes.
@@ -509,11 +511,10 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
         else attrs
     unary_b = None if unary_c is None else unary_c.astype(bf)
 
-    def body(Q, A, Q_sub):
-        # spatial message: A = Q * g_norm arrives pre-multiplied from the
-        # step kernel; self-exclusion + normalization happen inside the
-        # fused step kernel
-        f_gauss = spatial(A)
+    def body(Q, Q_sub):
+        # spatial message: blur(Q * g_norm), multiply in the blur kernel;
+        # self-exclusion + normalization happen inside the fused step kernel
+        f_gauss = spatial(Q, gn_c)
         # bilateral splat: Q*b_norm (and the pad mask) folded into the kernel
         if plan.stride > 1:
             G = splat_planes(attrs_sub, Q_sub,
@@ -533,10 +534,10 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
             cg=float(cfg.compat_gaussian), cb=float(cfg.compat_bilateral),
             n_energy=n_energy, p_energy=p_energy, sub_stride=plan.stride,
             cs_y=plan.cs_y, cs_x=plan.cs_x, interpret=plan.interpret)
-        if len(out) == 3:
+        if len(out) == 2:
             return out
-        return out[0], out[1], (plan.subsample(out[0], L)
-                                if plan.stride > 1 else None)
+        return out[0], (plan.subsample(out[0], L)
+                        if plan.stride > 1 else None)
 
     # static unroll: a lax.scan carry of the (B*Z, L, P) state inserts
     # whole-state copies at every iteration boundary (profiled as ~15% of
@@ -547,10 +548,9 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
     else:
         unary0 = unary_c
     Q = jax.nn.softmax(-unary0.astype(jnp.float32), axis=1).astype(bf)
-    A = Q * gn_b
     Q_sub = plan.subsample(Q, L) if plan.stride > 1 else None
     for _ in range(cfg.n_iters):
-        Q, A, Q_sub = body(Q, A, Q_sub)
+        Q, Q_sub = body(Q, Q_sub)
     return Q.astype(jnp.float32)
 
 

@@ -185,14 +185,16 @@ def _blur_slice(g_ref, brg_ref, rgb_ref, *, nc, L, inv_step, bb_taps):
 
 
 def _mf_step_kernel(at_ref, g_ref, brg_ref, fg_ref, q_ref, out_ref,
-                    out_a_ref, *, nc, L, inv_step, bb_taps, cg, cb,
+                    *, nc, L, inv_step, bb_taps, cg, cb,
                     n_energy, p_energy, u_ref=None, out_sub_ref=None,
                     stride=1, cs_y=0, cs_x=0):
     """Fused mean-field iteration tail: slice + both message normalizations
     + compatibility combine + softmax -> Q_next.  One HBM write per
-    iteration instead of five round-trips through XLA elementwise.  Also
-    emits A = Q_next * g_norm — the next iteration's spatial-filter input —
-    saving that elementwise pass too.
+    iteration instead of five round-trips through XLA elementwise.  (The
+    next iteration's spatial-filter input A = Q * g_norm is NOT emitted:
+    the blur kernel multiplies by g_norm itself — see
+    ``gaussian_blur_planes`` — which saves this kernel a whole padded
+    (L, P) output stream per iteration.)
 
     Operands ride the packed attrs planes (see ``ATTR_*``): the rgb rows
     feed the slice, the normalization rows feed the messages, and — on the
@@ -223,7 +225,6 @@ def _mf_step_kernel(at_ref, g_ref, brg_ref, fg_ref, q_ref, out_ref,
     e = jnp.exp(logits - mx)
     q_next = e / jnp.sum(e, axis=0, keepdims=True)
     out_ref[0] = q_next.astype(out_ref.dtype)
-    out_a_ref[0] = (q_next * gn).astype(out_a_ref.dtype)
     if out_sub_ref is not None:
         # next iteration's splat input, subsampled in-kernel: the XLA
         # strided-slice alternative forces a whole-Q relayout copy per
@@ -317,7 +318,8 @@ def _y_halo_matrix(cs_y: int, r: int, taps) -> "object":
 
 
 def _blur_row_kernel(up_ref, c_ref, dn_ref, ty_ref, tl_ref, t0_ref, tr_ref,
-                     out_ref, *, ny, r, strip, cs_y, cs_x):
+                     out_ref, *, ny, r, strip, cs_y, cs_x,
+                     gup_ref=None, gc_ref=None, gdn_ref=None):
     """Fused y+x blur of one full cell row (nx cells).  up/dn are thin
     ``strip``-row neighbor slices; left/right halos live inside the block.
 
@@ -325,7 +327,12 @@ def _blur_row_kernel(up_ref, c_ref, dn_ref, ty_ref, tl_ref, t0_ref, tr_ref,
     tensor — pixel-group splits of the contiguous minor P axis are free
     in-kernel, where an XLA-level 3-D <-> 5-D reshape of the state would
     drop/re-add the L-axis sublane padding = a full-tensor copy per
-    iteration (profiled at ~20% of CRF device time)."""
+    iteration (profiled at ~20% of CRF device time).
+
+    With g*_ref present the input is pre-multiplied by the (nx, 1, ...)
+    g_norm planes in-kernel (the blur is compute-bound; folding the
+    multiply here lets the mean-field step kernel drop its whole
+    A = Q * g_norm output stream)."""
     zr = pl.program_id(0)
     iy = zr % ny
     bf = jnp.bfloat16
@@ -335,6 +342,13 @@ def _blur_row_kernel(up_ref, c_ref, dn_ref, ty_ref, tl_ref, t0_ref, tr_ref,
     c = c_ref[...].reshape(nx, L, cs_y, cs_x)
     up = up_ref[...].reshape(nx, L, strip, cs_x)
     dn = dn_ref[...].reshape(nx, L, strip, cs_x)
+    if gc_ref is not None:
+        c = (c.astype(jnp.float32)
+             * gc_ref[...].reshape(nx, 1, cs_y, cs_x)).astype(bf)
+        up = (up.astype(jnp.float32)
+              * gup_ref[...].reshape(nx, 1, strip, cs_x)).astype(bf)
+        dn = (dn.astype(jnp.float32)
+              * gdn_ref[...].reshape(nx, 1, strip, cs_x)).astype(bf)
     halo = jnp.concatenate(
         [up[:, :, strip - r:].astype(bf) * m_up,
          c.astype(bf),
@@ -357,11 +371,13 @@ def _blur_row_kernel(up_ref, c_ref, dn_ref, ty_ref, tl_ref, t0_ref, tr_ref,
 
 
 def _blur_y_kernel(up_ref, c_ref, dn_ref, ty_ref, out_ref, *, ny, nx, Z, r,
-                   strip, cs_y, cs_x):
+                   strip, cs_y, cs_x, gup_ref=None, gc_ref=None,
+                   gdn_ref=None):
     """Fallback per-cell y pass (rows too large for the fused row kernel):
     transpose -> canonical matmul -> transpose (see module design rules).
     Refs are (1, L, P) / (1, L, strip*cs_x) 3-D blocks (see
-    _blur_row_kernel); the r halo rows are sliced from the strips."""
+    _blur_row_kernel); the r halo rows are sliced from the strips.  The
+    optional g*_refs pre-multiply by the g_norm planes (see row kernel)."""
     z = pl.program_id(0)
     iy = (z % Z) // nx
     bf = jnp.bfloat16
@@ -371,6 +387,13 @@ def _blur_y_kernel(up_ref, c_ref, dn_ref, ty_ref, out_ref, *, ny, nx, Z, r,
     c = c_ref[0].reshape(L, cs_y, cs_x)
     up = up_ref[0].reshape(L, strip, cs_x)
     dn = dn_ref[0].reshape(L, strip, cs_x)
+    if gc_ref is not None:
+        c = (c.astype(jnp.float32)
+             * gc_ref[0].reshape(1, cs_y, cs_x)).astype(bf)
+        up = (up.astype(jnp.float32)
+              * gup_ref[0].reshape(1, strip, cs_x)).astype(bf)
+        dn = (dn.astype(jnp.float32)
+              * gdn_ref[0].reshape(1, strip, cs_x)).astype(bf)
     halo = jnp.concatenate(
         [up[:, strip - r:].astype(bf) * m_up, c.astype(bf),
          dn[:, :r].astype(bf) * m_dn],
@@ -424,14 +447,20 @@ _ROW_BLOCK_BYTES = 1 << 21
 
 @functools.partial(jax.jit, static_argnames=("taps", "B", "ny", "nx",
                                              "cs_y", "cs_x", "interpret"))
-def gaussian_blur_planes(a, *, taps: tuple, B: int, ny: int, nx: int,
-                         cs_y: int, cs_x: int,
+def gaussian_blur_planes(a, gn=None, *, taps: tuple, B: int, ny: int,
+                         nx: int, cs_y: int, cs_x: int,
                          interpret: bool = False) -> jnp.ndarray:
     """Separable spatial Gaussian over cell planes.  a: (B*Z, L, P) with
     P = cs_y*cs_x; returns the blurred planes, same shape/dtype.  Matches
     ``dense_crf._sep_conv_bwh_to_bhw`` on the un-celled image (bf16 taps,
     zero padding outside the image) without the image-layout relayouts.
-    Requires len(taps)//2 <= min(cs_y, cs_x)."""
+    Requires len(taps)//2 <= min(cs_y, cs_x).
+
+    gn: optional (B*Z, 1, P) f32 per-pixel multiplier applied to ``a``
+    in-kernel before blurring — equals ``blur(a * gn)`` but the producer
+    of ``a`` never writes the pre-multiplied tensor (the mean-field loop
+    passes Q and g_norm; the blur is compute-bound, the multiply is free
+    here and a whole output stream in the step kernel otherwise)."""
     BZ, L, P = a.shape
     Z = ny * nx
     r = len(taps) // 2
@@ -467,16 +496,40 @@ def gaussian_blur_planes(a, *, taps: tuple, B: int, ny: int, nx: int,
         dn = pl.BlockSpec((nx, L, sp),
                           lambda z: (jnp.clip(z + 1, 0, hi), 0, 0),
                           memory_space=pltpu.VMEM)
+        in_specs = [up, rspec, dn, tyspec, mspec, mspec, mspec]
+        operands = [a, a, a, ty, tl, t0, tr]
+        if gn is None:
+            kern = functools.partial(_blur_row_kernel, ny=ny, r=r,
+                                     strip=strip, cs_y=cs_y, cs_x=cs_x)
+        else:
+            def kern(up_ref, c_ref, dn_ref, ty_ref, tl_ref, t0_ref, tr_ref,
+                     gup_ref, gc_ref, gdn_ref, out_ref):
+                _blur_row_kernel(up_ref, c_ref, dn_ref, ty_ref, tl_ref,
+                                 t0_ref, tr_ref, out_ref, ny=ny, r=r,
+                                 strip=strip, cs_y=cs_y, cs_x=cs_x,
+                                 gup_ref=gup_ref, gc_ref=gc_ref,
+                                 gdn_ref=gdn_ref)
+            g1 = pl.BlockSpec((nx, 1, P), lambda z: (z, 0, 0),
+                              memory_space=pltpu.VMEM)
+            gu = pl.BlockSpec((nx, 1, sp),
+                              lambda z: (jnp.clip(z - 1, 0, hi), 0,
+                                         cs_y // strip - 1),
+                              memory_space=pltpu.VMEM)
+            gd = pl.BlockSpec((nx, 1, sp),
+                              lambda z: (jnp.clip(z + 1, 0, hi), 0, 0),
+                              memory_space=pltpu.VMEM)
+            in_specs += [gu, g1, gd]
+            gn_f = gn.astype(jnp.float32)
+            operands += [gn_f, gn_f, gn_f]
         return pl.pallas_call(
-            functools.partial(_blur_row_kernel, ny=ny, r=r, strip=strip,
-                              cs_y=cs_y, cs_x=cs_x),
+            kern,
             grid=(B * ny,),
-            in_specs=[up, rspec, dn, tyspec, mspec, mspec, mspec],
+            in_specs=in_specs,
             out_specs=rspec,
             out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
             compiler_params=arb,
             interpret=interpret,
-        )(a, a, a, ty, tl, t0, tr)
+        )(*operands)
 
     spec = pl.BlockSpec((1, L, P), lambda z: (z, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -498,16 +551,39 @@ def gaussian_blur_planes(a, *, taps: tuple, B: int, ny: int, nx: int,
     dn_y = pl.BlockSpec((1, L, sp),
                         lambda z: (jnp.clip(z + nx, 0, BZ - 1), 0, 0),
                         memory_space=pltpu.VMEM)
+    in_specs_y = [up_y, spec, dn_y, tyspec]
+    operands_y = [a, a, a, ty]
+    if gn is None:
+        kern_y = functools.partial(_blur_y_kernel, ny=ny, nx=nx, Z=Z, r=r,
+                                   strip=strip_y, cs_y=cs_y, cs_x=cs_x)
+    else:
+        def kern_y(up_ref, c_ref, dn_ref, ty_ref, gup_ref, gc_ref, gdn_ref,
+                   out_ref):
+            _blur_y_kernel(up_ref, c_ref, dn_ref, ty_ref, out_ref, ny=ny,
+                           nx=nx, Z=Z, r=r, strip=strip_y, cs_y=cs_y,
+                           cs_x=cs_x, gup_ref=gup_ref, gc_ref=gc_ref,
+                           gdn_ref=gdn_ref)
+        g1 = pl.BlockSpec((1, 1, P), lambda z: (z, 0, 0),
+                          memory_space=pltpu.VMEM)
+        gu = pl.BlockSpec((1, 1, sp),
+                          lambda z: (jnp.clip(z - nx, 0, BZ - 1), 0,
+                                     cs_y // strip_y - 1),
+                          memory_space=pltpu.VMEM)
+        gd = pl.BlockSpec((1, 1, sp),
+                          lambda z: (jnp.clip(z + nx, 0, BZ - 1), 0, 0),
+                          memory_space=pltpu.VMEM)
+        in_specs_y += [gu, g1, gd]
+        gn_f = gn.astype(jnp.float32)
+        operands_y += [gn_f, gn_f, gn_f]
     fy = pl.pallas_call(
-        functools.partial(_blur_y_kernel, ny=ny, nx=nx, Z=Z, r=r,
-                          strip=strip_y, cs_y=cs_y, cs_x=cs_x),
+        kern_y,
         grid=(BZ,),
-        in_specs=[up_y, spec, dn_y, tyspec],
+        in_specs=in_specs_y,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         compiler_params=arb,
         interpret=interpret,
-    )(a, a, a, ty)
+    )(*operands_y)
 
     fx = pl.pallas_call(
         functools.partial(_blur_x_kernel, nx=nx, Z=Z, cs_y=cs_y, cs_x=cs_x),
@@ -625,11 +701,11 @@ def mf_step_planes(attrs, grid_t, brg, f_gauss, q, unary=None, *, nc: int,
     in-kernel from the attrs label row with the static two-level
     ``(n_energy, p_energy)`` energies (serving path); pass an explicit
     ``unary`` (Z,L,P) tensor instead for arbitrary caller energies.
-    Returns (Q_next, Q_next * g_norm), both (Z,L,P) in q's dtype; with
-    ``sub_stride`` > 1 (requires cell geometry ``cs_y``/``cs_x``) a third
-    output (Z, L, P/stride^2) — Q_next subsampled every stride-th pixel
-    per axis, the next iteration's splat input — is appended (an XLA
-    strided slice would relayout-copy the whole Q tensor per iteration).
+    Returns (Q_next,), (Z,L,P) in q's dtype; with ``sub_stride`` > 1
+    (requires cell geometry ``cs_y``/``cs_x``) a second output
+    (Z, L, P/stride^2) — Q_next subsampled every stride-th pixel per
+    axis, the next iteration's splat input — is appended (an XLA strided
+    slice would relayout-copy the whole Q tensor per iteration).
     """
     Z, rows, P = attrs.shape
     assert rows == ATTR_ROWS, attrs.shape
@@ -653,28 +729,26 @@ def mf_step_planes(attrs, grid_t, brg, f_gauss, q, unary=None, *, nc: int,
                 lspec, lspec]
     operands = [attrs, grid_t, brg.astype(jnp.float32), f_gauss, q]
     sub_kw = dict(stride=sub_stride, cs_y=cs_y, cs_x=cs_x) if sub else {}
-    n_out = 3 if sub else 2
 
     if unary is None:
         def kern(at_ref, g_ref, brg_ref, fg_ref, q_ref, *outs):
             _mf_step_kernel(at_ref, g_ref, brg_ref, fg_ref, q_ref,
-                            outs[0], outs[1], nc=nc, L=L,
+                            outs[0], nc=nc, L=L,
                             inv_step=inv_step, bb_taps=bb_taps, cg=cg,
                             cb=cb, n_energy=n_energy, p_energy=p_energy,
-                            out_sub_ref=outs[2] if sub else None, **sub_kw)
+                            out_sub_ref=outs[1] if sub else None, **sub_kw)
     else:
         def kern(at_ref, g_ref, brg_ref, fg_ref, q_ref, u_ref, *outs):
             _mf_step_kernel(at_ref, g_ref, brg_ref, fg_ref, q_ref,
-                            outs[0], outs[1], nc=nc, L=L,
+                            outs[0], nc=nc, L=L,
                             inv_step=inv_step, bb_taps=bb_taps, cg=cg,
                             cb=cb, n_energy=0.0, p_energy=0.0,
                             u_ref=u_ref,
-                            out_sub_ref=outs[2] if sub else None, **sub_kw)
+                            out_sub_ref=outs[1] if sub else None, **sub_kw)
         in_specs.append(lspec)
         operands.append(unary)
-    out_specs = [lspec, lspec]
-    out_shapes = [jax.ShapeDtypeStruct((Z, L, P), q.dtype),
-                  jax.ShapeDtypeStruct((Z, L, P), q.dtype)]
+    out_specs = [lspec]
+    out_shapes = [jax.ShapeDtypeStruct((Z, L, P), q.dtype)]
     if sub:
         P_sub = P // (sub_stride * sub_stride)
         out_specs.append(pl.BlockSpec((1, L, P_sub), lambda z, k: (z, 0, 0),

@@ -116,10 +116,10 @@ def test_mf_step_is_slice_plus_messages_softmax(data):
     kw = dict(nc=nc, L=L, inv_step=INV, bb_taps=(1.0,), cg=cg, cb=cb,
               interpret=True)
     attrs = _attrs_of(rgb, gn, bn, bs)
-    qn, a = mf_step_planes(jnp.asarray(attrs), jnp.asarray(Gt),
+    (qn,) = mf_step_planes(jnp.asarray(attrs), jnp.asarray(Gt),
                            jnp.asarray(brg), jnp.asarray(fg),
                            jnp.asarray(q), jnp.asarray(U), **kw)
-    qn, a = np.asarray(qn, np.float32), np.asarray(a, np.float32)
+    qn = np.asarray(qn, np.float32)
     filt = np.asarray(slice_planes(jnp.asarray(rgb), jnp.asarray(Gt),
                                    jnp.asarray(brg), nc=nc, L=L,
                                    inv_step=INV, bb_taps=(1.0,),
@@ -130,7 +130,6 @@ def test_mf_step_is_slice_plus_messages_softmax(data):
     e = np.exp(logits - logits.max(axis=1, keepdims=True))
     ref = e / e.sum(axis=1, keepdims=True)
     assert np.abs(qn - ref).max() < 1e-2
-    assert np.abs(a - ref * gn).max() < 1e-2
     np.testing.assert_allclose(qn.sum(axis=1), 1.0, rtol=1e-2)
 
 
@@ -199,3 +198,25 @@ def test_fused_dw_matches_reference():
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=8)
     ref = np.asarray(jnp.clip(ref * scale + offset, 0.0, 6.0))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_blur_gn_multiply_in_kernel_matches_premultiplied():
+    """gaussian_blur_planes(a, gn) == gaussian_blur_planes(a * gn): the
+    in-kernel g_norm multiply (which saves the step kernel an output
+    stream) must not change the filter result."""
+    from deeplab_tpu.kernels.crf_fused import gaussian_blur_planes
+
+    B, ny, nx, cs_y, cs_x, Lb = 2, 3, 2, 8, 128, 4
+    P2 = cs_y * cs_x
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.rand(B * ny * nx, Lb, P2), jnp.bfloat16)
+    gn = jnp.asarray(rng.rand(B * ny * nx, 1, P2), jnp.float32)
+    taps = (0.25, 0.5, 1.0, 0.5, 0.25)
+    kw = dict(taps=taps, B=B, ny=ny, nx=nx, cs_y=cs_y, cs_x=cs_x,
+              interpret=True)
+    want = gaussian_blur_planes(
+        (a.astype(jnp.float32) * gn).astype(jnp.bfloat16), **kw)
+    got = gaussian_blur_planes(a, gn, **kw)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
