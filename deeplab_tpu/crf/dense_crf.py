@@ -457,21 +457,20 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
     else:
         n_energy = p_energy = 0.0
     taps = _gauss_taps(cfg.sxy_gaussian)
-    # spatial normalization (f32-exact, hoisted): (B*Z, 1, P)
+    # spatial normalization (f32-exact, hoisted) per IMAGE POSITION — it is
+    # identical across the batch, so only the (Z, 1, P) single-image planes
+    # are built; the attrs kernel index-maps them over B
     gn_img = gaussian_norm((plan.h, plan.w), cfg.sxy_gaussian)   # (H, W, 1)
-    gn_c = plan.cells_v(jnp.broadcast_to(
-        jnp.moveaxis(gn_img, -1, 0)[None], (plan.B, 1, plan.h, plan.w)))
+    gn_small = plan.cells_v(jnp.moveaxis(gn_img, -1, 0)[None])   # (Z, 1, P)
     # bilateral normalization: norm pass over ones.  ``valid`` masks the
     # cell-padding pixels out of every splat (they don't exist in the XLA
     # path, whose value tensors are zero-padded per apply).
     valid = plan.cells_v(jnp.ones((plan.B, 1, plan.h, plan.w), jnp.float32))
-    b_self = plan.self_weight()
-    ksum = plan.apply(valid) - b_self
-    b_norm = jax.lax.rsqrt(jnp.maximum(ksum, 1e-20))             # (B*Z, 1, P)
-    b_scale = b_norm * valid
 
     from deeplab_tpu.kernels.crf_fused import (gaussian_blur_planes,
-                                               mf_step_planes, splat_planes)
+                                               mf_step_planes,
+                                               slice_attrs_planes,
+                                               splat_planes)
 
     # spatial message: blur directly on the cell planes when the truncated
     # radius fits inside a cell (always true at the serving configs) — this
@@ -487,7 +486,7 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
             return gaussian_blur_planes(
                 Q, gn, taps=taps_t, B=plan.B, ny=plan.ny, nx=plan.nx,
                 cs_y=plan.cs_y, cs_x=plan.cs_x, interpret=plan.interpret)
-        A = Q * gn.astype(Q.dtype)
+        A = Q * jnp.tile(gn, (plan.B, 1, 1)).astype(Q.dtype)
         return plan.cells_v(_sep_conv_bwh_to_bhw(plan.uncells_v_wh(A, L),
                                                  taps))
 
@@ -495,26 +494,37 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
     # HBM traffic of every transform/elementwise pass); all kernel-internal
     # arithmetic and the normalization terms stay f32
     bf = jnp.bfloat16
-    # splat-side per-pixel scale: normalization * pad mask * stride^2
-    # splat-subsampling weight, folded in rather than scaling the grid
-    # tensor every iteration.  It rides the packed attrs planes.
-    b_scale = b_scale * float(plan.stride ** 2)
-    # Packed per-pixel attrs (one DMA stream for the step/splat kernels
-    # instead of five — they are DMA-issue-bound; see kernels/crf_fused.py).
-    # The label row is only consumed on the hard-label serving path.
-    lab_row = (labels_c.astype(jnp.float32) if labels_c is not None
-               else jnp.zeros_like(gn_c))
-    attrs = jnp.concatenate(
-        [plan.rgb, gn_c, b_norm, b_self, lab_row, b_scale],
-        axis=1)                                          # (B*Z, 8, P) f32
-    attrs_sub = plan.subsample(attrs, _cf.ATTR_ROWS) if plan.stride > 1 \
-        else attrs
+    # Norm pass: splat the valid mask, cross-cell-blur it, then ONE fused
+    # kernel slices it and emits the packed attrs planes (b_self, b_norm,
+    # b_scale, unary softmax all in closed form per pixel) + the initial Q
+    # + the stride-subsampled copies.  Nothing between the norm grid and
+    # the first iteration is materialized by XLA (the 6-tensor concat and
+    # its five (B*Z, 1, P) 8x-sublane-padded inputs profiled ~0.15 ms/img).
+    if plan.stride > 1:
+        Gn = splat_planes(plan.rgb_sub, plan.subsample(valid, 1), None,
+                          nc=plan.nc, L=1, inv_step=plan.inv_step,
+                          interpret=plan.interpret) * float(plan.stride ** 2)
+    else:
+        Gn = splat_planes(plan.rgb, valid, None, nc=plan.nc, L=1,
+                          inv_step=plan.inv_step, interpret=plan.interpret)
+    Gn = plan.z_blur(Gn)  # f32: bf16 cancellation in (ksum - b_self)
+    # would explode the rsqrt for pixels with no similar neighbors
+    lab_i = (labels_c if labels_c is not None
+             else jnp.zeros((plan.rgb.shape[0], 1, plan.P), jnp.int32))
+    outs = slice_attrs_planes(
+        plan.rgb, Gn, plan.Brg, gn_small, lab_i, nc=plan.nc, L=L,
+        inv_step=plan.inv_step, bb_taps=plan.bb_taps, stride=plan.stride,
+        cs_y=plan.cs_y, cs_x=plan.cs_x, h=plan.h, w=plan.w, nx=plan.nx,
+        Z=plan.Z, gt_prob=float(cfg.gt_prob), interpret=plan.interpret)
+    attrs, Q0 = outs[0], outs[1]
+    attrs_sub = outs[2] if len(outs) > 2 else attrs
+    Q0_sub = outs[3] if len(outs) > 2 else None
     unary_b = None if unary_c is None else unary_c.astype(bf)
 
     def body(Q, Q_sub):
         # spatial message: blur(Q * g_norm), multiply in the blur kernel;
         # self-exclusion + normalization happen inside the fused step kernel
-        f_gauss = spatial(Q, gn_c)
+        f_gauss = spatial(Q, gn_small)
         # bilateral splat: Q*b_norm (and the pad mask) folded into the kernel
         if plan.stride > 1:
             G = splat_planes(attrs_sub, Q_sub,
@@ -543,12 +553,12 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
     # whole-state copies at every iteration boundary (profiled as ~15% of
     # device time); n_iters is small and static
     if unary_c is None:
-        unary0 = unary_planes(labels_c, n_labels, cfg.gt_prob,
-                              zero_unsure=False)
+        # serving path: Q0 (softmax of the two-level unary) came out of the
+        # attrs kernel in closed form
+        Q, Q_sub = Q0, Q0_sub
     else:
-        unary0 = unary_c
-    Q = jax.nn.softmax(-unary0.astype(jnp.float32), axis=1).astype(bf)
-    Q_sub = plan.subsample(Q, L) if plan.stride > 1 else None
+        Q = jax.nn.softmax(-unary_c.astype(jnp.float32), axis=1).astype(bf)
+        Q_sub = plan.subsample(Q, L) if plan.stride > 1 else None
     for _ in range(cfg.n_iters):
         Q, Q_sub = body(Q, Q_sub)
     return Q.astype(jnp.float32)

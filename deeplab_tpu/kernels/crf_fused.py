@@ -228,28 +228,36 @@ def _mf_step_kernel(at_ref, g_ref, brg_ref, fg_ref, q_ref, out_ref,
     if out_sub_ref is not None:
         # next iteration's splat input, subsampled in-kernel: the XLA
         # strided-slice alternative forces a whole-Q relayout copy per
-        # iteration (profiled ~11% of CRF time).  y-stride: regroup the
-        # contiguous (cs_y, cs_x) pixel block to (cs_y/s, s*cs_x) and keep
-        # the first cs_x lanes (a free sublane-group reshape+slice);
-        # x-stride: per y-group (cs_x, cs_x/s) lane-selection matmuls,
-        # lane-concatenated in row-major subsample order (a direct
-        # (L*ys, xs) -> (L, ys*xs) shape cast is a sublane->lane merge
-        # Mosaic cannot lower).
-        L_ = q_next.shape[0]
-        ys, xs = cs_y // stride, cs_x // stride
-        qy = q_next.reshape(L_, ys, stride * cs_x)[:, :, :cs_x]
-        iota_i = jax.lax.broadcasted_iota(jnp.int32, (cs_x, xs), 0)
-        iota_j = jax.lax.broadcasted_iota(jnp.int32, (cs_x, xs), 1)
-        sel = (iota_i == iota_j * stride).astype(jnp.bfloat16)
-        # one small dot per y-group: batching them into a single (ys*L, .)
-        # matmul is NOT possible — the per-group row slices of its result
-        # start at 21-row (non-sublane-aligned) offsets, which Mosaic's
-        # lane-concat cannot take
-        pieces = [jnp.dot(qy[:, j].astype(jnp.bfloat16), sel,
-                          preferred_element_type=jnp.float32)
-                  for j in range(ys)]
-        out_sub_ref[0] = jnp.concatenate(pieces, axis=1).astype(
+        # iteration (profiled ~11% of CRF time)
+        out_sub_ref[0] = _subsample_rows(q_next, stride, cs_y, cs_x).astype(
             out_sub_ref.dtype)
+
+
+def _subsample_rows(x, stride: int, cs_y: int, cs_x: int,
+                    exact: bool = False):
+    """(R, cs_y*cs_x) -> (R, (cs_y/s)*(cs_x/s)): every stride-th pixel per
+    axis, row-major subsample order (matches ``_PallasPlan.subsample``).
+
+    y-stride: regroup the contiguous (cs_y, cs_x) pixel block to
+    (cs_y/s, s*cs_x) and keep the first cs_x lanes (a free sublane-group
+    reshape+slice); x-stride: per y-group (cs_x, cs_x/s) lane-selection
+    matmuls, lane-concatenated (a direct (R*ys, xs) -> (R, ys*xs) shape
+    cast is a sublane->lane merge Mosaic cannot lower, and batching the
+    dots leaves per-group row slices at non-sublane-aligned offsets its
+    lane-concat cannot take).  ``exact`` keeps the selection dots in f32
+    (a bf16 dot would round the selected values — fine for the bf16 Q
+    state, not for f32 normalization planes)."""
+    R = x.shape[0]
+    ys, xs = cs_y // stride, cs_x // stride
+    dt = jnp.float32 if exact else jnp.bfloat16
+    xy = x.reshape(R, ys, stride * cs_x)[:, :, :cs_x]
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (cs_x, xs), 0)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (cs_x, xs), 1)
+    sel = (iota_i == iota_j * stride).astype(dt)
+    pieces = [jnp.dot(xy[:, j].astype(dt), sel,
+                      preferred_element_type=jnp.float32)
+              for j in range(ys)]
+    return jnp.concatenate(pieces, axis=1)                # (R, ys*xs) f32
 
 
 # Packed per-pixel attribute planes, (Z, 8, P) f32.  The rgb rows already
@@ -456,11 +464,14 @@ def gaussian_blur_planes(a, gn=None, *, taps: tuple, B: int, ny: int,
     zero padding outside the image) without the image-layout relayouts.
     Requires len(taps)//2 <= min(cs_y, cs_x).
 
-    gn: optional (B*Z, 1, P) f32 per-pixel multiplier applied to ``a``
-    in-kernel before blurring — equals ``blur(a * gn)`` but the producer
-    of ``a`` never writes the pre-multiplied tensor (the mean-field loop
-    passes Q and g_norm; the blur is compute-bound, the multiply is free
-    here and a whole output stream in the step kernel otherwise)."""
+    gn: optional per-pixel multiplier applied to ``a`` in-kernel before
+    blurring — equals ``blur(a * gn)`` but the producer of ``a`` never
+    writes the pre-multiplied tensor (the mean-field loop passes Q and
+    g_norm; the blur is compute-bound, the multiply is free here and a
+    whole output stream in the step kernel otherwise).  Shape (B*Z, 1, P),
+    or (Z, 1, P) for a batch-invariant multiplier (the spatial
+    normalization depends only on image position) — index-mapped across
+    the batch, never materialized B times."""
     BZ, L, P = a.shape
     Z = ny * nx
     r = len(taps) // 2
@@ -509,14 +520,20 @@ def gaussian_blur_planes(a, gn=None, *, taps: tuple, B: int, ny: int,
                                  strip=strip, cs_y=cs_y, cs_x=cs_x,
                                  gup_ref=gup_ref, gc_ref=gc_ref,
                                  gdn_ref=gdn_ref)
-            g1 = pl.BlockSpec((nx, 1, P), lambda z: (z, 0, 0),
+            if gn.shape[0] == Z:     # batch-invariant: index by image row
+                gz = lambda z: z % ny
+                ghi = ny - 1
+            else:
+                gz = lambda z: z
+                ghi = hi
+            g1 = pl.BlockSpec((nx, 1, P), lambda z: (gz(z), 0, 0),
                               memory_space=pltpu.VMEM)
             gu = pl.BlockSpec((nx, 1, sp),
-                              lambda z: (jnp.clip(z - 1, 0, hi), 0,
+                              lambda z: (jnp.clip(gz(z) - 1, 0, ghi), 0,
                                          cs_y // strip - 1),
                               memory_space=pltpu.VMEM)
             gd = pl.BlockSpec((nx, 1, sp),
-                              lambda z: (jnp.clip(z + 1, 0, hi), 0, 0),
+                              lambda z: (jnp.clip(gz(z) + 1, 0, ghi), 0, 0),
                               memory_space=pltpu.VMEM)
             in_specs += [gu, g1, gd]
             gn_f = gn.astype(jnp.float32)
@@ -563,14 +580,20 @@ def gaussian_blur_planes(a, gn=None, *, taps: tuple, B: int, ny: int,
                            nx=nx, Z=Z, r=r, strip=strip_y, cs_y=cs_y,
                            cs_x=cs_x, gup_ref=gup_ref, gc_ref=gc_ref,
                            gdn_ref=gdn_ref)
-        g1 = pl.BlockSpec((1, 1, P), lambda z: (z, 0, 0),
+        if gn.shape[0] == Z:         # batch-invariant: index by image cell
+            gz = lambda z: z % Z
+            ghi = Z - 1
+        else:
+            gz = lambda z: z
+            ghi = BZ - 1
+        g1 = pl.BlockSpec((1, 1, P), lambda z: (gz(z), 0, 0),
                           memory_space=pltpu.VMEM)
         gu = pl.BlockSpec((1, 1, sp),
-                          lambda z: (jnp.clip(z - nx, 0, BZ - 1), 0,
+                          lambda z: (jnp.clip(gz(z) - nx, 0, ghi), 0,
                                      cs_y // strip_y - 1),
                           memory_space=pltpu.VMEM)
         gd = pl.BlockSpec((1, 1, sp),
-                          lambda z: (jnp.clip(z + nx, 0, BZ - 1), 0, 0),
+                          lambda z: (jnp.clip(gz(z) + nx, 0, ghi), 0, 0),
                           memory_space=pltpu.VMEM)
         in_specs_y += [gu, g1, gd]
         gn_f = gn.astype(jnp.float32)
@@ -681,6 +704,143 @@ def slice_planes(rgb, grid_t, brg, *, nc: int, L: int, inv_step: float,
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(rgb, grid_t.astype(jnp.float32), brg.astype(jnp.float32))
+
+
+def _slice_attrs_kernel(rgb_ref, g_ref, brg_ref, gn_ref, lab_ref, at_ref,
+                        q0_ref, ats_ref, q0s_ref, *, nc, L, inv_step,
+                        bb_taps, stride, cs_y, cs_x, h, w, nx, Z, q0_lab,
+                        q0_other):
+    """Norm-pass tail: slice the valid-mask grid and EMIT the packed attrs
+    planes (+ the initial Q and the stride-subsampled copies) in one pass.
+
+    Everything the XLA formulation materialized between the norm slice and
+    the first iteration — b_self, valid, b_norm, b_scale, the 6-tensor
+    attrs concat, the two-level unary and its softmax — is closed-form
+    per pixel, so it is computed in VMEM here and written once.  gn is
+    streamed per image position (it is identical across the batch)."""
+    f32 = jnp.float32
+    rgb = rgb_ref[0].astype(f32)                            # (3, CHUNK)
+    # ksum of the bilateral kernel over valid pixels (self included)
+    filt = _blur_slice(g_ref, brg_ref, rgb_ref, nc=nc, L=1,
+                       inv_step=inv_step, bb_taps=bb_taps)  # (1, CHUNK)
+    # closed-form self weight (see _PallasPlan.self_weight)
+    coords = rgb * inv_step
+    frac = coords - jnp.floor(coords)
+    s0, s1 = 1.0 - frac, frac
+    b0 = bb_taps[len(bb_taps) // 2]
+    b1 = bb_taps[len(bb_taps) // 2 + 1] if len(bb_taps) > 1 else 0.0
+    per_dim = (s0 * s0 + s1 * s1) * b0 + 2.0 * s0 * s1 * b1
+    b_self = (per_dim[0:1] * per_dim[1:2] * per_dim[2:3])   # (1, CHUNK)
+    # cell-pad mask from geometry: is this pixel inside the h x w image?
+    # (2-D iota over the (cs_y, cs_x) pixel block, then a free minor-merge
+    # reshape — avoids vector integer div/mod by a non-power-of-2 cs_x)
+    z = pl.program_id(0)
+    iy = (z % Z) // nx
+    ix = (z % Z) % nx
+    py = jax.lax.broadcasted_iota(jnp.int32, (cs_y, cs_x), 0)
+    px = jax.lax.broadcasted_iota(jnp.int32, (cs_y, cs_x), 1)
+    valid = ((iy * cs_y + py < h) & (ix * cs_x + px < w)).astype(f32)
+    valid = valid.reshape(1, cs_y * cs_x)
+    bn = jax.lax.rsqrt(jnp.maximum(filt - b_self, 1e-20))
+    bscale = bn * valid * float(stride * stride)
+    lab = lab_ref[0].astype(f32)
+    attrs = jnp.concatenate(
+        [rgb, gn_ref[0].astype(f32), bn, b_self, lab, bscale], axis=0)
+    at_ref[0] = attrs
+    # initial Q = softmax(-two-level unary): a two-value closed form
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0).astype(f32)
+    q0 = jnp.where(iota_l == lab, q0_lab, q0_other)         # (L, CHUNK)
+    if q0_ref is not None:
+        q0_ref[0] = q0.astype(q0_ref.dtype)
+    if ats_ref is not None:
+        ats_ref[0] = _subsample_rows(attrs, stride, cs_y, cs_x,
+                                     exact=True).astype(ats_ref.dtype)
+    if q0s_ref is not None:
+        q0s_ref[0] = _subsample_rows(q0, stride, cs_y, cs_x).astype(
+            q0s_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nc", "L", "inv_step", "bb_taps",
+                                    "stride", "cs_y", "cs_x", "h", "w",
+                                    "nx", "Z", "gt_prob", "chunk",
+                                    "interpret"))
+def slice_attrs_planes(rgb, grid_t, brg, gn, labels, *, nc: int, L: int,
+                       inv_step: float, bb_taps: tuple, stride: int,
+                       cs_y: int, cs_x: int, h: int, w: int, nx: int,
+                       Z: int, gt_prob: float, chunk: int = 0,
+                       interpret: bool = False):
+    """Fused norm-pass tail (see ``_slice_attrs_kernel``).
+
+    rgb (B*Z, 3, P) f32; grid_t (B*Z, d_pad(nc,1), C) z-blurred norm grid
+    (valid-mask splat, ALREADY stride^2-scaled); brg (C, C); gn (Z, 1, P)
+    f32 spatial normalization per image position (index-mapped across the
+    batch); labels (B*Z, 1, P) integer hard labels.
+    Returns (attrs, q0) and, when ``stride`` > 1, also
+    (attrs_sub, q0_sub): attrs (B*Z, 8, P) f32, q0 (B*Z, L, P) bf16.
+    """
+    import math as _math
+    BZ, _, P = rgb.shape
+    chunk = chunk or P
+    sub = stride > 1 and chunk == P and cs_y * cs_x == P \
+        and cs_y % stride == 0 and cs_x % stride == 0
+    # the in-kernel valid-mask geometry assumes whole-cell blocks
+    assert chunk == P and cs_y * cs_x == P, (chunk, P, cs_y, cs_x)
+    assert nc >= 255.0 * inv_step + 1, (nc, inv_step)  # hat-pad invariant
+    C = _c_pad(nc)
+    n_e = -_math.log((1.0 - gt_prob) / (L - 1))
+    p_e = -_math.log(gt_prob)
+    # softmax(-U) of the two-level unary, closed form
+    den = _math.exp(-p_e) + (L - 1) * _math.exp(-n_e)
+    q0_lab = _math.exp(-p_e) / den
+    q0_other = _math.exp(-n_e) / den
+    nspec = pl.BlockSpec((1, 1, chunk), lambda z, k: (z, 0, k),
+                         memory_space=pltpu.VMEM)
+    gnspec = pl.BlockSpec((1, 1, chunk), lambda z, k: (z % Z, 0, k),
+                          memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((1, ATTR_ROWS, chunk), lambda z, k: (z, 0, k),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, L, chunk), lambda z, k: (z, 0, k),
+                         memory_space=pltpu.VMEM)
+    out_specs = [aspec, lspec]
+    out_shapes = [jax.ShapeDtypeStruct((BZ, ATTR_ROWS, P), jnp.float32),
+                  jax.ShapeDtypeStruct((BZ, L, P), jnp.bfloat16)]
+    if sub:
+        Ps = P // (stride * stride)
+        out_specs += [
+            pl.BlockSpec((1, ATTR_ROWS, Ps), lambda z, k: (z, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, Ps), lambda z, k: (z, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        out_shapes += [
+            jax.ShapeDtypeStruct((BZ, ATTR_ROWS, Ps), jnp.float32),
+            jax.ShapeDtypeStruct((BZ, L, Ps), jnp.bfloat16)]
+
+    def kern(rgb_ref, g_ref, brg_ref, gn_ref, lab_ref, *outs):
+        _slice_attrs_kernel(
+            rgb_ref, g_ref, brg_ref, gn_ref, lab_ref,
+            outs[0], outs[1],
+            outs[2] if sub else None, outs[3] if sub else None,
+            nc=nc, L=L, inv_step=inv_step, bb_taps=bb_taps, stride=stride,
+            cs_y=cs_y, cs_x=cs_x, h=h, w=w, nx=nx, Z=Z,
+            q0_lab=q0_lab, q0_other=q0_other)
+
+    return pl.pallas_call(
+        kern,
+        grid=(BZ, P // chunk),
+        in_specs=[_rgb_spec(chunk),
+                  pl.BlockSpec((1, _d_pad(nc, 1), C), lambda z, k: (z, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((C, C), lambda z, k: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  gnspec, nspec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(rgb, grid_t.astype(jnp.float32), brg.astype(jnp.float32),
+      gn.astype(jnp.float32), labels)
 
 
 @functools.partial(jax.jit,
