@@ -521,33 +521,38 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
     Q0_sub = outs[3] if len(outs) > 2 else None
     unary_b = None if unary_c is None else unary_c.astype(bf)
 
-    def body(Q, Q_sub):
+    def body(Q, Q_sub, last=False):
         # spatial message: blur(Q * g_norm), multiply in the blur kernel;
         # self-exclusion + normalization happen inside the fused step kernel
         f_gauss = spatial(Q, gn_small)
-        # bilateral splat: Q*b_norm (and the pad mask) folded into the kernel
+        # bilateral splat: Q*b_norm (and the pad mask) folded into the
+        # kernel; the grid comes out bf16 directly (half-width through the
+        # z-blur + slice — the separate astype profiled 0.7 ms/call)
         if plan.stride > 1:
             G = splat_planes(attrs_sub, Q_sub,
                              nc=plan.nc, L=L, inv_step=plan.inv_step,
-                             interpret=plan.interpret)
+                             out_dtype=bf, interpret=plan.interpret)
         else:
             G = splat_planes(attrs, Q, nc=plan.nc, L=L,
                              inv_step=plan.inv_step,
-                             interpret=plan.interpret)
-        G = plan.z_blur(G.astype(bf))  # half-width grid through blur+slice
+                             out_dtype=bf, interpret=plan.interpret)
+        G = plan.z_blur(G)
         # fused: color blurs + slice + messages + compatibilities + softmax
         # (+ the next iteration's subsampled splat input — an XLA strided
-        # slice of Q would relayout-copy the whole state per iteration)
+        # slice of Q would relayout-copy the whole state per iteration;
+        # the last iteration has no next splat, so skip the sub output)
         out = mf_step_planes(
             attrs, G, plan.Brg, f_gauss, Q, unary_b, nc=plan.nc, L=L,
             inv_step=plan.inv_step, bb_taps=plan.bb_taps,
             cg=float(cfg.compat_gaussian), cb=float(cfg.compat_bilateral),
-            n_energy=n_energy, p_energy=p_energy, sub_stride=plan.stride,
+            n_energy=n_energy, p_energy=p_energy,
+            sub_stride=1 if last else plan.stride,
             cs_y=plan.cs_y, cs_x=plan.cs_x, interpret=plan.interpret)
+        if last or plan.stride == 1:
+            return out[0], None
         if len(out) == 2:
             return out
-        return out[0], (plan.subsample(out[0], L)
-                        if plan.stride > 1 else None)
+        return out[0], plan.subsample(out[0], L)
 
     # static unroll: a lax.scan carry of the (B*Z, L, P) state inserts
     # whole-state copies at every iteration boundary (profiled as ~15% of
@@ -559,8 +564,8 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
     else:
         Q = jax.nn.softmax(-unary_c.astype(jnp.float32), axis=1).astype(bf)
         Q_sub = plan.subsample(Q, L) if plan.stride > 1 else None
-    for _ in range(cfg.n_iters):
-        Q, Q_sub = body(Q, Q_sub)
+    for i in range(cfg.n_iters):
+        Q, Q_sub = body(Q, Q_sub, last=(i == cfg.n_iters - 1))
     return Q.astype(jnp.float32)
 
 

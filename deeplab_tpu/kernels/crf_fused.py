@@ -139,11 +139,13 @@ def _splat_kernel(rgb_ref, v_ref, out_ref, *, nc, L, inv_step,
 
     @pl.when(k == 0)
     def _():
-        out_ref[0] = contrib
+        out_ref[0] = contrib.astype(out_ref.dtype)
 
     @pl.when(k != 0)
     def _():
-        out_ref[0] += contrib
+        # cross-chunk accumulation (f32 outputs only — the wrapper asserts
+        # a bf16 grid is single-chunk)
+        out_ref[0] += contrib.astype(out_ref.dtype)
 
 
 def _slice_kernel(rgb_ref, g_ref, brg_ref, out_ref, *, nc, L, inv_step,
@@ -623,18 +625,22 @@ def gaussian_blur_planes(a, gn=None, *, taps: tuple, B: int, ny: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("nc", "L", "inv_step", "chunk",
-                                    "interpret"))
+                                    "out_dtype", "interpret"))
 def splat_planes(rgb, values, scale=None, *, nc: int, L: int,
-                 inv_step: float, chunk: int = 0,
+                 inv_step: float, chunk: int = 0, out_dtype=jnp.float32,
                  interpret: bool = False) -> jnp.ndarray:
     """rgb: (Z, 3, P) f32 0-255 planes OR packed (Z, 8, P) attrs planes —
     in the packed case the splat scale is the ``ATTR_BSCALE`` row (one DMA
     stream instead of two) and ``scale`` must be None.  values: (Z, L, P);
     scale: optional (Z, 1, P) per-pixel multiplier folded into the splat
     (the mean-field normalization).  Returns the transposed splatted grid
-    G: (Z, D, C) f32 with D = nc*L (d = b*L + l), C = nc*nc (c = r*nc+g)."""
+    G: (Z, D, C) in ``out_dtype`` with D = nc*L (d = b*L + l),
+    C = nc*nc (c = r*nc+g).  ``out_dtype=bf16`` (only valid when a single
+    chunk covers P, i.e. no cross-chunk accumulation) writes the grid at
+    half width directly, saving the downstream astype pass."""
     Z, rows, P = rgb.shape
     chunk = chunk or P
+    assert out_dtype == jnp.float32 or chunk == P, (out_dtype, chunk, P)
     assert P % chunk == 0, (P, chunk)
     assert nc >= 255.0 * inv_step + 1, (nc, inv_step)  # hat-pad invariant
     packed = rows == ATTR_ROWS
@@ -666,7 +672,7 @@ def splat_planes(rgb, values, scale=None, *, nc: int, L: int,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((Z, _d_pad(nc, L), _c_pad(nc)),
-                                       jnp.float32),
+                                       out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
