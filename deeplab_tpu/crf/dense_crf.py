@@ -54,6 +54,12 @@ class CrfConfig:
     # "pallas" force one (pallas off-TPU runs in interpret mode — tests only).
     backend: str = "auto"
 
+    def __post_init__(self):
+        if self.backend not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"backend must be 'auto', 'xla' or 'pallas', "
+                f"got {self.backend!r}")
+
 
 def unary_from_labels(labels: jnp.ndarray, n_labels: int, gt_prob: float,
                       zero_unsure: bool = True) -> jnp.ndarray:
@@ -164,10 +170,14 @@ class _BilateralPlan:
 
     def __init__(self, im, sxy: float, srgb: float, color_step: float,
                  splat_stride: int = 1):
-        self.stride = splat_stride
         h, w, _ = im.shape
         self.h, self.w = h, w
         self.cs = cs = max(int(round(sxy)), 1)
+        # same guard as _PallasPlan: a stride that doesn't divide the cell
+        # size falls back to 1 (the subsample reshape requires it)
+        self.stride = (splat_stride
+                       if splat_stride > 1 and cs % splat_stride == 0
+                       else 1)
         srgb_grid = srgb * color_step
         self.nc = nc = int(math.floor(255.0 / srgb_grid)) + 2
         self.color_step = color_step
@@ -371,37 +381,9 @@ class _PallasPlan:
                        G.reshape(self.B, self.Z, D * C))
         return G.reshape(BZ, D, C)
 
-    def apply(self, V, scale=None):
-        """V: (B*Z, L, P) [+ optional (B*Z, 1, P) splat-side multiplier]
-        -> filtered (B*Z, L, P).  Self-contribution INCLUDED."""
-        from deeplab_tpu.kernels.crf_fused import slice_planes, splat_planes
-        L = V.shape[1]
-        kw = dict(nc=self.nc, L=L, inv_step=self.inv_step,
-                  interpret=self.interpret)
-        if self.stride > 1:
-            G = splat_planes(self.rgb_sub, self.subsample(V, L),
-                             None if scale is None
-                             else self.subsample(scale, 1), **kw)
-            G = G * float(self.stride ** 2)
-        else:
-            G = splat_planes(self.rgb, V, scale, **kw)
-        # f32 throughout: apply() serves the normalization pass, where bf16
-        # cancellation in (ksum - self_weight) could explode rsqrt for
-        # pixels with no similar neighbors
-        G = self.z_blur(G)
-        return slice_planes(self.rgb, G, self.Brg, bb_taps=self.bb_taps,
-                            **kw)
-
-    def self_weight(self):
-        """Closed-form per-pixel self-weight, (B*Z, 1, P) — the cell-plane
-        version of ``bilateral_self_weight``."""
-        coords = self.rgb.astype(jnp.float32) * self.inv_step  # (B*Z, 3, P)
-        frac = coords - jnp.floor(coords)
-        s0, s1 = 1.0 - frac, frac
-        taps = self.bb_taps
-        b0, b1 = taps[len(taps) // 2], taps[len(taps) // 2 + 1]
-        per_dim = (s0 ** 2 + s1 ** 2) * b0 + 2.0 * s0 * s1 * b1
-        return jnp.prod(per_dim, axis=1, keepdims=True)  # (B*Z, 1, P)
+    # (the norm pass and per-pixel self weight that used to live here as
+    # apply()/self_weight() moved INTO kernels/crf_fused._slice_attrs_kernel
+    # — the fused norm tail computes them in closed form per pixel)
 
 
 def _sep_conv_bwh_to_bhw(x, taps):
@@ -420,23 +402,6 @@ def _sep_conv_bwh_to_bhw(x, taps):
     return (y.reshape(-1, w) @ tw).reshape(b, l, h, w)
 
 
-def unary_planes(labels, n_labels: int, gt_prob: float,
-                 zero_unsure: bool = True,
-                 dtype=jnp.float32) -> jnp.ndarray:
-    """(B*Z, 1, P) int labels -> (B*Z, L, P) unary energies (the cell-plane
-    version of ``unary_from_labels``).  Energies are O(1) magnitudes, so
-    bf16 storage is loss-free enough for the serving path."""
-    n_energy = -math.log((1.0 - gt_prob) / (n_labels - 1))
-    p_energy = -math.log(gt_prob)
-    idx = labels - 1 if zero_unsure else labels
-    bins = jnp.arange(n_labels, dtype=labels.dtype).reshape(1, n_labels, 1)
-    one_hot = (idx == bins).astype(dtype)                # (B*Z, L, P)
-    U = dtype(n_energy) + dtype(p_energy - n_energy) * one_hot
-    if zero_unsure:
-        U = jnp.where(labels == 0, dtype(-math.log(1.0 / n_labels)), U)
-    return U
-
-
 def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
                        labels_c: jnp.ndarray = None,
                        unary_c: jnp.ndarray = None) -> jnp.ndarray:
@@ -448,8 +413,6 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
     as ``mean_field`` — Krähenbühl & Koltun Algorithm 1 with symmetric
     normalization and self-interaction excluded — laid out for the TPU
     memory system."""
-    from deeplab_tpu.kernels import crf_fused as _cf
-
     L = n_labels
     if unary_c is None:
         n_energy = -math.log((1.0 - cfg.gt_prob) / (n_labels - 1))
@@ -652,6 +615,22 @@ def mean_field(im: jnp.ndarray, unary: jnp.ndarray, cfg: CrfConfig,
                n_labels: int) -> jnp.ndarray:
     """im: (H, W, 3) 0-255; unary: (N, L) energies.  Returns Q (N, L)."""
     h, w, _ = im.shape
+    s = cfg.resolution_scale
+    if s > 1:
+        # run at 1/s resolution with physically-rescaled kernel widths,
+        # then nearest-upsample Q (same serving knob semantics as
+        # mean_field_batched)
+        im_s = im[::s, ::s]
+        hs, ws = im_s.shape[:2]
+        u_s = unary.reshape(h, w, n_labels)[::s, ::s].reshape(-1, n_labels)
+        cfg_s = dataclasses.replace(
+            cfg, resolution_scale=1,
+            sxy_gaussian=cfg.sxy_gaussian / s,
+            sxy_bilateral=cfg.sxy_bilateral / s)
+        Q_s = mean_field(im_s, u_s, cfg_s, n_labels).reshape(hs, ws,
+                                                            n_labels)
+        Q = jnp.repeat(jnp.repeat(Q_s, s, axis=0), s, axis=1)[:h, :w]
+        return Q.reshape(-1, n_labels)
     if _use_pallas(cfg):
         plan = _PallasPlan(im[None], cfg.sxy_bilateral, cfg.srgb,
                            cfg.color_step, cfg.splat_stride)
@@ -669,14 +648,20 @@ def mean_field(im: jnp.ndarray, unary: jnp.ndarray, cfg: CrfConfig,
                                    cfg.color_step)[:, None]
     ones = jnp.ones((h * w, 1), jnp.float32)
     ksum = plan.apply(ones) - b_self
-    b_norm = jax.lax.rsqrt(jnp.maximum(ksum, 1e-20))
+    # with a subsampled splat the KDE can miss an off-lattice pixel's own
+    # mass — floor the denominator at b_self so the norm stays bounded
+    # (same rationale as kernels/crf_fused._slice_attrs_kernel)
+    floor = b_self if plan.stride > 1 else 1e-20
+    b_norm = jax.lax.rsqrt(jnp.maximum(ksum, floor))
 
     def body(Q, _):
         q_img = Q.reshape(h, w, n_labels)
         msg_g = gaussian_message(q_img, cfg.sxy_gaussian,
                                  norm=g_norm).reshape(-1, n_labels)
         nq = Q * b_norm
-        msg_b = (plan.apply(nq) - b_self * nq) * b_norm
+        # clamp at 0: the exact excluded-self message is nonnegative (see
+        # kernels/crf_fused._mf_step_kernel)
+        msg_b = jnp.maximum(plan.apply(nq) - b_self * nq, 0.0) * b_norm
         logits = -unary + cfg.compat_gaussian * msg_g \
             + cfg.compat_bilateral * msg_b
         return jax.nn.softmax(logits, axis=-1), None

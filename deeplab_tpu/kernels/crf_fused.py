@@ -220,8 +220,13 @@ def _mf_step_kernel(at_ref, g_ref, brg_ref, fg_ref, q_ref, out_ref,
         u = u_ref[0].astype(jnp.float32)
     # spatial message: fg is the raw filtered (Q * gn); exclude self, scale
     msg_g = (fg_ref[0].astype(jnp.float32) - q * gn) * gn
-    # bilateral message: filt already excludes nothing; remove self-weight
-    msg_b = (filt - at_ref[0, ATTR_BSELF:ATTR_BSELF + 1] * bn * q) * bn
+    # bilateral message: filt already excludes nothing; remove self-weight.
+    # The exact message sum_{j!=i} k n_i n_j q_j is nonnegative — clamp at
+    # 0 so approximation error (a subsampled splat that never captured an
+    # off-lattice pixel's own mass, or bf16 grid rounding) cannot turn the
+    # self-exclusion into a large spurious penalty on the pixel's own label
+    msg_b = jnp.maximum(
+        filt - at_ref[0, ATTR_BSELF:ATTR_BSELF + 1] * bn * q, 0.0) * bn
     logits = -u + cg * msg_g + cb * msg_b
     mx = jnp.max(logits, axis=0, keepdims=True)
     e = jnp.exp(logits - mx)
@@ -747,7 +752,17 @@ def _slice_attrs_kernel(rgb_ref, g_ref, brg_ref, gn_ref, lab_ref, at_ref,
     px = jax.lax.broadcasted_iota(jnp.int32, (cs_y, cs_x), 1)
     valid = ((iy * cs_y + py < h) & (ix * cs_x + px < w)).astype(f32)
     valid = valid.reshape(1, cs_y * cs_x)
-    bn = jax.lax.rsqrt(jnp.maximum(filt - b_self, 1e-20))
+    # With a subsampled splat the KDE norm estimate can miss a pixel's own
+    # mass entirely (a color-isolated pixel off the stride lattice):
+    # filt - b_self goes to ~0 or negative, the 1e-20 clamp sends bn to
+    # 1e10, and the bilateral message -b_self*bn^2*q assigns the pixel an
+    # arbitrary label.  Floor the denominator at b_self — "an isolated
+    # pixel's neighbor mass is at least its own self-weight" — which
+    # bounds |msg_b| <= q and only engages exactly where the subsampled
+    # estimate already failed.  At stride=1 the splat is exact and the
+    # original tiny clamp keeps parity with the O(N^2) oracle.
+    floor = b_self if stride > 1 else 1e-20
+    bn = jax.lax.rsqrt(jnp.maximum(filt - b_self, floor))
     bscale = bn * valid * float(stride * stride)
     lab = lab_ref[0].astype(f32)
     attrs = jnp.concatenate(
@@ -877,9 +892,14 @@ def mf_step_planes(attrs, grid_t, brg, f_gauss, q, unary=None, *, nc: int,
     assert rows == ATTR_ROWS, attrs.shape
     C = _c_pad(nc)
     if not chunk:
-        # keep the (D, CHUNK) slice intermediate + elementwise blocks in VMEM
+        # keep the (D, CHUNK) slice intermediate + elementwise blocks in
+        # VMEM.  When an in-kernel subsample output is at stake (it needs
+        # whole-cell chunks), allow a larger budget before halving —
+        # falling back to the XLA strided slice costs a whole-Q relayout
+        # copy per iteration, far worse than the VMEM pressure.
+        budget = (8 << 20) if sub_stride > 1 else (6 << 20)
         chunk = P
-        while nc * L * chunk * 4 > (6 << 20) and chunk % 2 == 0:
+        while nc * L * chunk * 4 > budget and chunk % 2 == 0:
             chunk //= 2
     sub = sub_stride > 1 and chunk == P and cs_y * cs_x == P \
         and cs_y % sub_stride == 0 and cs_x % sub_stride == 0

@@ -109,3 +109,57 @@ def test_do_crf_pallas_label_compression():
     cfg_x = CrfConfig(sxy_bilateral=16.0, n_iters=2, backend="xla")
     out_x = do_crf(im, mask, zero_unsure=True, cfg=cfg_x)
     assert (out == out_x).mean() > 0.97
+
+
+def test_isolated_offlattice_pixel_keeps_its_label():
+    """Regression: with splat_stride > 1, a color-isolated pixel OFF the
+    stride lattice has no mass of its own in the subsampled bilateral grid.
+    The norm denominator used to clamp at 1e-20 there, sending b_norm to
+    1e10 and the message to -b_self*bn^2*q — the pixel got an arbitrary
+    label.  The denominator now floors at b_self, so the unary must win."""
+    H, W = 64, 128
+    im = np.full((H, W, 3), [40.0, 200.0, 40.0], np.float32)
+    im[33, 66] = (255.0, 0.0, 0.0)       # saturated red, off the 4-lattice
+    mask = np.ones((H, W), np.int64)
+    for backend in ("pallas", "xla"):
+        cfg = CrfConfig(splat_stride=4, color_step=2.5, backend=backend)
+        out = np.asarray(mean_field_batched(
+            jnp.asarray(im)[None], jnp.asarray(mask)[None], cfg, 3))[0]
+        assert out[33, 66] == 1, (backend, out[33, 66])
+        assert (out == 1).all(), backend
+
+
+def test_xla_backend_non_divisor_stride_falls_back():
+    """Regression: _BilateralPlan used to crash on a splat_stride that does
+    not divide the cell size; it now falls back to stride 1 exactly like
+    _PallasPlan."""
+    H, W, L = 32, 32, 4
+    im, mask = make_scene(H, W, L, 2)
+    cfg = CrfConfig(backend="xla", splat_stride=3)  # 3 does not divide 80
+    out = np.asarray(mean_field_batched(
+        jnp.asarray(im)[None], jnp.asarray(mask)[None], cfg, L))
+    assert out.shape == (1, H, W)
+
+
+def test_mean_field_honors_resolution_scale():
+    """Regression: mean_field/do_crf silently ignored resolution_scale."""
+    from deeplab_tpu.crf.dense_crf import unary_from_labels
+    H, W, L = 40, 56, 5
+    im, mask = make_scene(H, W, L, 3)
+    U = unary_from_labels(jnp.asarray(mask.reshape(-1)), L, 0.7,
+                          zero_unsure=False)
+    base = CrfConfig(sxy_bilateral=16.0, n_iters=2, backend="pallas")
+    full = np.asarray(mean_field(jnp.asarray(im), U, base, L))
+    half = np.asarray(mean_field(
+        jnp.asarray(im), U,
+        CrfConfig(sxy_bilateral=16.0, n_iters=2, backend="pallas",
+                  resolution_scale=2), L))
+    assert half.shape == full.shape
+    # the half-res run must still broadly agree with the full-res one
+    agree = (half.argmax(-1) == full.argmax(-1)).mean()
+    assert agree > 0.85, agree
+
+
+def test_backend_string_validated():
+    with pytest.raises(ValueError):
+        CrfConfig(backend="Pallas")

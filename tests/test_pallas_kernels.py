@@ -125,7 +125,9 @@ def test_mf_step_is_slice_plus_messages_softmax(data):
                                    inv_step=INV, bb_taps=(1.0,),
                                    interpret=True))
     msg_g = (fg - q * gn) * gn
-    msg_b = (filt - bs * bn * q) * bn
+    # the kernel clamps the excluded-self bilateral message at 0 (the exact
+    # quantity is nonnegative; see _mf_step_kernel)
+    msg_b = np.maximum(filt - bs * bn * q, 0.0) * bn
     logits = -U + cg * msg_g + cb * msg_b
     e = np.exp(logits - logits.max(axis=1, keepdims=True))
     ref = e / e.sum(axis=1, keepdims=True)
