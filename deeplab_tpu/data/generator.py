@@ -192,6 +192,8 @@ class SegmentationGenerator:
 
     def on_epoch_end(self):
         c = list(zip(self.image_path_list, self.label_path_list))
+        if not c:  # empty shard/dataset: nothing to shuffle
+            return
         random.shuffle(c)
         self.image_path_list, self.label_path_list = zip(*c)
 

@@ -169,6 +169,10 @@ class Deeplabv3:
     def init(self, rng, batch_size: int = 1):
         example = jnp.zeros((batch_size,) + self.input_shape, jnp.float32)
         params, state = core.init_model(self._forward, rng, example)
+        # canonical graph order, captured while the freshly-built dict still
+        # has creation order (jax.tree.map re-sorts keys alphabetically) —
+        # the layer-freeze policy depends on it
+        self.layer_order = tuple(params)
         if self.weights == "pascal_voc":
             from deeplab_tpu.params import load_pretrained_pascal_voc
             params, state = load_pretrained_pascal_voc(params, state,

@@ -69,7 +69,11 @@ class SegNet:
 
     def init(self, rng, batch_size: int = 1):
         example = jnp.zeros((batch_size,) + self.sz + (3,), jnp.float32)
-        return core.init_model(self.forward, rng, example)
+        params, state = core.init_model(self.forward, rng, example)
+        # canonical graph order for the layer-freeze policy (tree.map
+        # re-sorts dict keys, so it cannot be re-derived later)
+        self.layer_order = tuple(params)
+        return params, state
 
     def apply(self, params, state, img, training: bool = False, rng=None,
               frozen: frozenset = frozenset(), compute_dtype=None):

@@ -37,7 +37,9 @@ class Predictor:
         self.crf = crf
         self.n_classes = n_classes or getattr(net, "n_classes", 21)
         h, w = net.sz
-        self._hw = (h, w)
+        # pad target for ragged batches (see __call__); the full device
+        # count satisfies both the P('data') and P(('data','space')) specs
+        self._mesh_n = mesh.devices.size if mesh is not None else 1
 
         def model_preds(params, state, img):
             # argmax of the head logits — equals argmax of apply()'s
@@ -96,6 +98,19 @@ class Predictor:
 
     def __call__(self, images) -> np.ndarray:
         """images: (B, H, W, 3) raw 0-255 BGR float/uint8 -> (B, H, W) int32
-        label maps (CRF-refined when configured)."""
+        label maps (CRF-refined when configured).
+
+        On a mesh, a batch that does not divide the device count is padded
+        (by repeating the last image) up to the next multiple and the pad
+        rows are dropped from the output — single images and ragged tails
+        serve fine instead of tripping a sharding error."""
         img = jnp.asarray(images, jnp.float32)
+        if self._mesh_n > 1:
+            pad = (-img.shape[0]) % self._mesh_n
+            if pad:
+                b = img.shape[0]
+                img = jnp.concatenate(
+                    [img, jnp.repeat(img[-1:], pad, axis=0)], axis=0)
+                return np.asarray(
+                    self._fn(self.params, self.state, img))[:b]
         return np.asarray(self._fn(self.params, self.state, img))

@@ -18,18 +18,22 @@ from typing import Optional
 import jax
 import optax
 
-def freeze_set(params, freeze_before: Optional[str] = "concat_projection"
-               ) -> frozenset:
+def freeze_set(params, freeze_before: Optional[str] = "concat_projection",
+               order=None) -> frozenset:
     """Layer names to freeze: everything before ``freeze_before`` in graph
     order (notebook cell 5 anchors at 'concat_projection'; it and everything
-    after stays trainable).
+    after stays trainable).  ``freeze_before=None`` freezes nothing.
 
-    The param dict preserves graph insertion order (models create layers in
-    forward order), so "before" is a prefix of its keys.
-    ``freeze_before=None`` freezes nothing (training from scratch)."""
+    ``order`` is the canonical layer creation order (``model.layer_order``,
+    captured at init).  ALWAYS pass it when available: a freshly-initialized
+    params dict preserves graph insertion order, but any tree that went
+    through ``jax.tree.map``/``tree_unflatten`` (e.g. after a training run
+    or a checkpoint restore) has its keys re-sorted alphabetically, and
+    deriving "before" from those keys would silently freeze the wrong
+    layers."""
     if freeze_before is None:
         return frozenset()
-    names = list(params)
+    names = list(order) if order is not None else list(params)
     if freeze_before not in names:
         raise ValueError(
             f"freeze_before layer {freeze_before!r} not found in the model "
@@ -57,6 +61,6 @@ def mask_frozen(updates, frozen: frozenset):
     """Zero parameter updates for frozen layers (device-side, jit-safe)."""
     if not frozen:
         return updates
-    return {layer: (jax.tree.map(lambda u: u * 0 if layer in frozen else u, sub)
+    return {layer: (jax.tree.map(lambda u: u * 0, sub)
                     if layer in frozen else sub)
             for layer, sub in updates.items()}

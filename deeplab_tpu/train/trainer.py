@@ -62,7 +62,7 @@ class Trainer:
         self.params = None
         self.state = None
         self.opt_state = None
-        self._step_fns = {}
+        self._predict_fns = None
         for cb in self.callbacks:
             cb.set_trainer(self)
 
@@ -102,7 +102,10 @@ class Trainer:
             return params, new_state, opt_state, metrics
 
         def eval_step(params, state, X, Y, SW):
-            probs, _ = model.apply(params, state, X)
+            # validation runs under the same numeric regime as training
+            # (bf16 halves eval HBM traffic; metrics reduce in f32)
+            probs, _ = model.apply(params, state, X,
+                                   compute_dtype=self.compute_dtype)
             return {
                 "loss": masked_sparse_ce(Y, probs, SW),
                 "Jaccard": Jaccard(Y, probs),
@@ -150,26 +153,38 @@ class Trainer:
     def fit(self, params, state, train_gen, valid_gen=None, initial_epoch=0,
             state_checkpoint: Optional[str] = None,
             resume_from: Optional[str] = None):
-        frozen = freeze_set(params, self.freeze_before)
+        self.stop_training = False  # a previous EarlyStopping must not
+        # truncate a fresh fit() to one epoch
+        frozen = freeze_set(params, self.freeze_before,
+                            order=getattr(self.model, "layer_order", None))
 
-        # The batch must divide over the mesh 'data' axis.  If it doesn't
-        # (e.g. bs=2 on 8 chips, the notebook's config), shrink to the
-        # largest usable submesh rather than padding — padding would
-        # contaminate BN batch statistics.
+        # Every served batch must divide over the mesh 'data' axis.  If it
+        # doesn't (e.g. bs=2 on 8 chips, the notebook's config), shrink to
+        # the largest usable submesh rather than padding — padding would
+        # contaminate BN batch statistics.  The declared batch_size is not
+        # enough: ArrayBatcher serves a SHORTER batch when the dataset is
+        # smaller than batch_size, so probe the first train/val batches too.
+        import math
+        sizes = []
         bs = getattr(train_gen, "batch_size", None)
-        if bs is None:  # fall back to materializing one batch
-            X0, _, _ = train_gen[0]
-            bs = X0.shape[0]
+        if bs is not None:
+            sizes.append(bs)
+        X0, _, _ = train_gen[0]
+        sizes.append(X0.shape[0])
+        if valid_gen is not None and len(valid_gen) > 0:
+            sizes.append(valid_gen[0][0].shape[0])
         n_data = self.mesh.shape["data"]
-        if bs % n_data != 0:
-            import math
-            usable = math.gcd(bs, n_data)
+        usable = n_data
+        for s in sizes:
+            usable = math.gcd(usable, s)
+        if usable != n_data:
             devs = self.mesh.devices.reshape(-1)[:usable * self.mesh.shape["space"]]
             self.mesh = get_mesh(devs, data=usable,
                                  space=self.mesh.shape["space"])
             if self.verbose:
-                print(f"warning: batch {bs} not divisible by data axis "
-                      f"{n_data}; using {usable}-device submesh")
+                print(f"warning: batch sizes {sorted(set(sizes))} not "
+                      f"divisible by data axis {n_data}; using "
+                      f"{usable}-device submesh")
 
         train_jit, eval_jit, tx = self._build_steps(frozen)
 
@@ -224,9 +239,11 @@ class Trainer:
             sums, n_batches = {}, 0
             for X, Y, sw_dict in train_pipe:
                 SW = sw_dict["pred_mask"] if isinstance(sw_dict, dict) else sw_dict
-                X = jax.device_put(jnp.asarray(X), img_sh)
-                Y = jax.device_put(jnp.asarray(Y), data_sh)
-                SW = jax.device_put(jnp.asarray(SW), data_sh)
+                # host numpy -> per-shard transfer in one hop (jnp.asarray
+                # first would land the whole batch on one device and reshard)
+                X = jax.device_put(np.asarray(X), img_sh)
+                Y = jax.device_put(np.asarray(Y), data_sh)
+                SW = jax.device_put(np.asarray(SW), data_sh)
                 rng = jax.random.fold_in(base_rng, step)
                 self.params, self.state, self.opt_state, metrics = train_jit(
                     self.params, self.state, self.opt_state,
@@ -244,9 +261,9 @@ class Trainer:
                 for X, Y, sw_dict in valid_pipe:
                     SW = (sw_dict["pred_mask"] if isinstance(sw_dict, dict)
                           else sw_dict)
-                    X = jax.device_put(jnp.asarray(X), img_sh)
-                    Y = jax.device_put(jnp.asarray(Y), data_sh)
-                    SW = jax.device_put(jnp.asarray(SW), data_sh)
+                    X = jax.device_put(np.asarray(X), img_sh)
+                    Y = jax.device_put(np.asarray(Y), data_sh)
+                    SW = jax.device_put(np.asarray(SW), data_sh)
                     m = eval_jit(self.params, self.state, X, Y, SW)
                     for k, v in m.items():
                         vsums[k] = vsums.get(k, 0.0) + v
@@ -283,10 +300,16 @@ class Trainer:
         n_data = self.mesh.shape["data"]
         repl = replicated_sharding(self.mesh)
         data_sh = data_sharding(self.mesh)
-        fwd = jax.jit(lambda p, s, x: self.model.apply(p, s, x)[0],
-                      in_shardings=(repl, repl, data_sh),
-                      out_shardings=data_sh)
-        fwd_single = jax.jit(lambda p, s, x: self.model.apply(p, s, x)[0])
+        if self._predict_fns is None:
+            # cache the jitted forwards: fresh lambdas would retrace (and
+            # recompile) on every predict() call
+            self._predict_fns = (
+                jax.jit(lambda p, s, x: self.model.apply(p, s, x)[0],
+                        in_shardings=(repl, repl, data_sh),
+                        out_shardings=data_sh),
+                jax.jit(lambda p, s, x: self.model.apply(p, s, x)[0]),
+            )
+        fwd, fwd_single = self._predict_fns
         params = jax.device_put(params, repl)
         state = jax.device_put(state, repl)
         for i in range(0, n, batch_size):

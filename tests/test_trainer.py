@@ -212,3 +212,45 @@ def test_data_parallel_matches_single_device(n_dev):
             np.testing.assert_allclose(
                 np.asarray(tr1.params[layer][k]),
                 np.asarray(tr8.params[layer][k]), rtol=1e-4, atol=1e-5)
+
+
+def test_freeze_set_order_survives_tree_map_key_sorting():
+    """Regression: jax.tree.map rebuilds param dicts with SORTED keys, so
+    deriving 'everything before X in graph order' from a post-training or
+    post-restore tree silently froze the wrong layers.  The model captures
+    layer_order at init; freeze_set must honor it regardless of the dict's
+    current key order."""
+    model = TinySegNet()
+    params, _ = model.init(jax.random.key(0))
+    want = freeze_set(params, "concat_projection")
+    mapped = jax.tree.map(lambda x: x, params)   # keys now sorted
+    got = freeze_set(mapped, "concat_projection",
+                     order=getattr(model, "layer_order", tuple(params)))
+    assert got == want
+
+
+def test_fit_resets_stop_training():
+    """Regression: a Trainer reused after EarlyStopping fired used to train
+    at most one epoch on the next fit()."""
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    tr = Trainer(model, epochs=2, lr=1e-2, verbose=0)
+    tr.stop_training = True   # as left behind by a previous EarlyStopping
+    hist = tr.fit(params, state, FakeGen())
+    assert len(hist["loss"]) == 2
+
+
+def test_short_in_memory_dataset_on_virtual_mesh():
+    """Regression: ArrayBatcher serves a batch SMALLER than batch_size when
+    the dataset is tiny; the mesh guard must shrink to a submesh the actual
+    batch divides instead of crashing on sharded device_put."""
+    from deeplab_tpu.data.generator import ArrayBatcher
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    X = rng.rand(6, SZ, SZ, 3).astype(np.float32) * 255   # 6 < bs=16
+    Y = rng.randint(0, C, (6, SZ * SZ)).astype(np.float32)
+    gen = ArrayBatcher(X, Y, batch_size=16, n_classes=C)
+    tr = Trainer(model, epochs=1, lr=1e-2, verbose=0)
+    hist = tr.fit(params, state, gen, valid_gen=gen)
+    assert np.isfinite(hist["loss"]).all()
