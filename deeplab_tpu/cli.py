@@ -20,7 +20,6 @@ import numpy as np
 
 
 def _build(cfg, load_weights=False, weights=None):
-    import jax
     from deeplab_tpu.models.seg_model import SegModel
     seg = SegModel(cfg.data.dataset, tuple(cfg.model.image_size))
     seg.set_batch_size(cfg.train.batch_size)
@@ -29,6 +28,12 @@ def _build(cfg, load_weights=False, weights=None):
                                backbone=cfg.model.backbone,
                                load_weights=False,
                                OS=cfg.model.OS, alpha=cfg.model.alpha)
+    # keep the facade's weight path consistent with where cmd_train's
+    # ModelCheckpoint writes — a non-default checkpoint_dir would otherwise
+    # silently break --resume-weights (it would look in 'weights/')
+    seg.modelpath = os.path.join(
+        cfg.train.checkpoint_dir,
+        f"{cfg.model.backbone}_{cfg.model.net}.h5")
     if weights:
         from deeplab_tpu.params import load_keras_h5
         seg.params, seg.state = load_keras_h5(weights, seg.params, seg.state)
@@ -82,6 +87,9 @@ def cmd_train(args):
                       epsilon=t.epsilon, decay=t.decay,
                       freeze_before=freeze,
                       spatial=t.spatial, seed=t.seed)
+    if args.resume and not t.state_checkpoint:
+        print("warning: --resume given but train.state_checkpoint is not "
+              "configured; starting from epoch 0")
     history = trainer.fit(seg.params, seg.state, train_gen, valid_gen,
                           state_checkpoint=t.state_checkpoint,
                           resume_from=t.state_checkpoint if args.resume else None)
@@ -124,6 +132,10 @@ def cmd_predict(args):
     seg, net = _build(cfg, weights=args.weights)
     h, w = cfg.model.image_size
     os.makedirs(args.out_dir, exist_ok=True)
+    # deliberately the reference notebook's per-image path (forward ->
+    # host argmax -> do_crf with label compression/remap, utils.py:74-91)
+    # rather than the batched Predictor: `predict` mirrors cells 7-9
+    # exactly, including the compressed-label CRF semantics
     fwd = jax.jit(lambda p, s, x: net.apply(p, s, x)[0])
     from deeplab_tpu.data.augment import resize_bilinear
     for path in args.images:

@@ -139,10 +139,7 @@ def warp_affine(img: np.ndarray, M: np.ndarray, size_wh, nearest: bool = False
         inside = (xx >= 0) & (xx < in_w) & (yy >= 0) & (yy < in_h)
         v = img[np.clip(yy, 0, in_h - 1), np.clip(xx, 0, in_w - 1)]
         v = v.astype(np.float32)
-        if v.ndim == 3:
-            v[~inside] = 0.0
-        else:
-            v[~inside] = 0.0
+        v[~inside] = 0.0   # broadcasts over channels when present
         return v
 
     if img.ndim == 3:

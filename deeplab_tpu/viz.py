@@ -60,22 +60,30 @@ def calculate_iou(net, params, state, generator, nb_classes: int = 21,
     """Dataset-level confusion matrix (notebook cell 10), vectorized.
 
     ``ref_shift=True`` reproduces the notebook's ``conf_m[l-1, p-1]``
-    indexing (the published numbers); pass False for the standard matrix.
+    indexing for the RETURNED matrix and the published mean (the shifted
+    matrix is just a (-1, -1) roll of the standard one, so it is derived
+    rather than re-accumulated).  The per-class IoU vector is ALWAYS in
+    standard class order (iou[c] belongs to class c) — indexing it with the
+    shifted matrix's order mislabels every class by one.
     Returns (conf_m, per-class IoU, published mean-IOU scalar).
     """
     import jax
     fwd = jax.jit(lambda p, s, x: net.apply(p, s, x)[0])
-    conf = jnp.zeros((nb_classes, nb_classes), jnp.int32)
+    # host-side int64 accumulation: int32 diagonal cells wrap at ~2.1e9
+    # pixels of one class (a few thousand high-res images)
+    conf = np.zeros((nb_classes, nb_classes), np.int64)
     for i in range(len(generator)):
         X, Y, _ = generator[i]
         probs = fwd(params, state, jnp.asarray(X))
         preds = jnp.argmax(probs, axis=-1)             # (B, H*W)
         labels = jnp.asarray(Y[..., 0])
-        conf = conf + _confusion_matrix(labels, preds, nb_classes,
-                                        ref_shift=ref_shift)
-    iou = iou_from_confusion(conf)
-    mean_iou = mean_iou_published(conf)
-    return np.asarray(conf), np.asarray(iou), float(mean_iou)
+        conf += np.asarray(_confusion_matrix(labels, preds, nb_classes),
+                           np.int64)
+    conf_ref = np.roll(conf, (-1, -1), axis=(0, 1))    # the cell-10 quirk
+    iou = iou_from_confusion(jnp.asarray(conf))
+    mean_iou = mean_iou_published(jnp.asarray(conf_ref))
+    return (conf_ref if ref_shift else conf,
+            np.asarray(iou), float(mean_iou))
 
 
 # ---------------------------------------------------------- cell-9 figures --
