@@ -89,3 +89,18 @@ def test_predictor_spatial_sharded_matches_unsharded():
         imgs = np.random.RandomState(5).rand(B, SZ, SZ, 3) * 255
         a, b = p1(imgs), psp(imgs)
         assert (a == b).mean() > 0.999, (B, (a == b).mean())
+
+
+def test_predictor_ragged_batch_on_mesh():
+    """Regression: a batch that doesn't divide the mesh device count used
+    to trip a sharding error; the Predictor now pads (repeating the last
+    image) and drops the pad rows — results must equal the unsharded
+    path."""
+    net, params, state = _net_and_weights()
+    imgs = np.random.RandomState(3).rand(3, SZ, SZ, 3) * 255  # 3 !| 8
+    plain = Predictor(net, params, state, crf=None)
+    sharded = Predictor(net, params, state, crf=None,
+                        mesh=get_mesh(jax.devices()[:8]))
+    np.testing.assert_array_equal(sharded(imgs), plain(imgs))
+    single = sharded(imgs[:1])              # B=1 serving
+    np.testing.assert_array_equal(single, plain(imgs[:1]))
