@@ -84,6 +84,10 @@ def exact_crf_map(im: np.ndarray, mask: np.ndarray, zero_unsure: bool = True,
     mean field -> argmax -> remap to original ids."""
     colors, labels = np.unique(mask, return_inverse=True)
     n_labels = len(set(labels.flat))
+    if n_labels == 1:
+        # single-label mask: nothing to refine (matches do_crf's guard;
+        # the two-level unary is undefined for n_labels == 1)
+        return mask.copy()
     U = unary_from_labels_np(labels, n_labels, gt_prob=0.7,
                              zero_unsure=zero_unsure)
     Q = exact_mean_field(im, U, n_iters=n_iters, **kw)

@@ -16,8 +16,37 @@ class Callback:
     def on_epoch_end(self, epoch: int, logs: dict):
         pass
 
+    # monitoring callbacks carry best/wait across a preemption resume
+    # (saved into the train-state checkpoint by Trainer.fit)
+    def get_state(self) -> dict:
+        return {}
 
-class ModelCheckpoint(Callback):
+    def set_state(self, state: dict):
+        pass
+
+
+class _MonitorCallback(Callback):
+    """Shared monitor/best/wait bookkeeping for the three training-control
+    callbacks (one place for the improved-comparison and resume state)."""
+
+    def __init__(self, monitor: str, mode: str):
+        self.monitor = monitor
+        self.mode = mode
+        self.best = -np.inf if mode == "max" else np.inf
+        self.wait = 0
+
+    def _improved(self, value: float) -> bool:
+        return value > self.best if self.mode == "max" else value < self.best
+
+    def get_state(self) -> dict:
+        return {"best": float(self.best), "wait": int(self.wait)}
+
+    def set_state(self, state: dict):
+        self.best = float(state.get("best", self.best))
+        self.wait = int(state.get("wait", self.wait))
+
+
+class ModelCheckpoint(_MonitorCallback):
     """notebook cell 5: save_best_only weights-only checkpoint on
     monitor='val_Jaccard', mode='max'.  Writes the Keras h5 format so the
     reference can load our checkpoints and vice versa."""
@@ -25,53 +54,51 @@ class ModelCheckpoint(Callback):
     def __init__(self, filepath: str, monitor: str = "val_Jaccard",
                  mode: str = "max", save_best_only: bool = True,
                  verbose: int = 0):
+        super().__init__(monitor, mode)
         self.filepath = filepath
-        self.monitor = monitor
-        self.mode = mode
         self.save_best_only = save_best_only
         self.verbose = verbose
-        self.best = -np.inf if mode == "max" else np.inf
 
-    def _improved(self, value: float) -> bool:
-        return value > self.best if self.mode == "max" else value < self.best
+    def _save(self, epoch, value):
+        from deeplab_tpu.params import save_keras_h5
+        save_keras_h5(self.filepath, self.trainer.params,
+                      self.trainer.state)
+        if self.verbose:
+            tag = "" if value is None else f" ({self.monitor}={value:.4f})"
+            print(f"epoch {epoch}: saved {self.filepath}{tag}")
 
     def on_epoch_end(self, epoch: int, logs: dict):
         value = logs.get(self.monitor)
+        if not self.save_best_only:
+            # Keras semantics: unconditional per-epoch save, monitor or not
+            self._save(epoch, value)
+            return
         if value is None:
             print(f"warning: can save best model only with {self.monitor} "
                   f"available, skipping (have: {sorted(logs)})")
             return
-        if not self.save_best_only or self._improved(value):
+        if self._improved(value):
             self.best = value
-            from deeplab_tpu.params import save_keras_h5
-            save_keras_h5(self.filepath, self.trainer.params,
-                          self.trainer.state)
-            if self.verbose:
-                print(f"epoch {epoch}: saved {self.filepath} "
-                      f"({self.monitor}={value:.4f})")
+            self._save(epoch, value)
 
 
-class ReduceLROnPlateau(Callback):
+class ReduceLROnPlateau(_MonitorCallback):
     """notebook cell 5: factor=0.5, patience=5, min_lr=1e-6 on val_Jaccard."""
 
     def __init__(self, monitor: str = "val_Jaccard", factor: float = 0.5,
                  patience: int = 5, min_lr: float = 1e-6, mode: str = "max",
                  verbose: int = 0):
-        self.monitor = monitor
+        super().__init__(monitor, mode)
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
-        self.mode = mode
         self.verbose = verbose
-        self.best = -np.inf if mode == "max" else np.inf
-        self.wait = 0
 
     def on_epoch_end(self, epoch: int, logs: dict):
         value = logs.get(self.monitor)
         if value is None:
             return
-        improved = value > self.best if self.mode == "max" else value < self.best
-        if improved:
+        if self._improved(value):
             self.best = value
             self.wait = 0
             return
@@ -130,24 +157,20 @@ class TensorBoard(Callback):
             tf.summary.scalar("lr", self.trainer.current_lr(), step=epoch)
 
 
-class EarlyStopping(Callback):
+class EarlyStopping(_MonitorCallback):
     """notebook cell 5: patience=100 on val_Jaccard (mode max)."""
 
     def __init__(self, monitor: str = "val_Jaccard", patience: int = 100,
                  mode: str = "max", verbose: int = 0):
-        self.monitor = monitor
+        super().__init__(monitor, mode)
         self.patience = patience
-        self.mode = mode
         self.verbose = verbose
-        self.best = -np.inf if mode == "max" else np.inf
-        self.wait = 0
 
     def on_epoch_end(self, epoch: int, logs: dict):
         value = logs.get(self.monitor)
         if value is None:
             return
-        improved = value > self.best if self.mode == "max" else value < self.best
-        if improved:
+        if self._improved(value):
             self.best = value
             self.wait = 0
             return

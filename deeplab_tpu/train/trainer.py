@@ -205,6 +205,12 @@ class Trainer:
             self.state = jax.device_put(s, repl)
             self.opt_state = jax.device_put(o, repl)
             initial_epoch = max(initial_epoch, extra.get("epoch", 0))
+            # restore callback bookkeeping (ModelCheckpoint.best, plateau /
+            # early-stop counters) — without it the first post-resume epoch
+            # would overwrite the best-weights h5 with possibly worse ones
+            for cb, cb_state in zip(self.callbacks,
+                                    extra.get("callbacks", [])):
+                cb.set_state(cb_state)
             if self.verbose:
                 print(f"resumed from {resume_from} "
                       f"(epoch {initial_epoch}, step {step})")
@@ -283,9 +289,12 @@ class Trainer:
                 cb.on_epoch_end(epoch, logs)
             if state_checkpoint is not None:
                 from deeplab_tpu.train.checkpoint import save_train_state
-                save_train_state(state_checkpoint, self.params, self.state,
-                                 self.opt_state, step, self.lr_scale,
-                                 extra={"epoch": epoch + 1})
+                save_train_state(
+                    state_checkpoint, self.params, self.state,
+                    self.opt_state, step, self.lr_scale,
+                    extra={"epoch": epoch + 1,
+                           "callbacks": [cb.get_state()
+                                         for cb in self.callbacks]})
             if self.stop_training:
                 break
         return history

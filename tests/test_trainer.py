@@ -254,3 +254,45 @@ def test_short_in_memory_dataset_on_virtual_mesh():
     tr = Trainer(model, epochs=1, lr=1e-2, verbose=0)
     hist = tr.fit(params, state, gen, valid_gen=gen)
     assert np.isfinite(hist["loss"]).all()
+
+
+def test_callback_state_round_trips_through_checkpoint(tmp_path):
+    """Regression: after a preemption resume, ModelCheckpoint.best reset to
+    -inf and the first post-resume epoch overwrote the best-weights h5 with
+    possibly worse weights; plateau/early-stop counters also restarted.
+    Callback state now rides the train-state checkpoint."""
+    from deeplab_tpu.train.callbacks import (EarlyStopping, ModelCheckpoint,
+                                             ReduceLROnPlateau)
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    ckpt = str(tmp_path / "train_state.npz")
+    cbs = [ModelCheckpoint(str(tmp_path / "w.h5")),
+           ReduceLROnPlateau(patience=3), EarlyStopping(patience=5)]
+    tr = Trainer(model, epochs=2, lr=1e-2, callbacks=cbs, verbose=0)
+    tr.fit(params, state, FakeGen(), valid_gen=FakeGen(),
+           state_checkpoint=ckpt)
+    bests = [cb.best for cb in cbs]
+    assert np.isfinite(bests[0])
+    # fresh trainer + callbacks, resumed: best/wait must be restored
+    cbs2 = [ModelCheckpoint(str(tmp_path / "w.h5")),
+            ReduceLROnPlateau(patience=3), EarlyStopping(patience=5)]
+    tr2 = Trainer(model, epochs=2, lr=1e-2, callbacks=cbs2, verbose=0)
+    tr2.fit(params, state, FakeGen(), valid_gen=FakeGen(),
+            state_checkpoint=ckpt, resume_from=ckpt)
+    # set_state ran before any epoch could clobber the h5: best is at
+    # least the first run's best (monotone under mode='max')
+    assert cbs2[0].best >= bests[0] - 1e-9
+
+
+def test_model_checkpoint_unconditional_save(tmp_path):
+    """save_best_only=False must save every epoch even without the
+    monitored metric (Keras semantics) — it used to save nothing."""
+    from deeplab_tpu.train.callbacks import ModelCheckpoint
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    path = str(tmp_path / "every.h5")
+    cb = ModelCheckpoint(path, save_best_only=False)
+    tr = Trainer(model, epochs=1, lr=1e-2, callbacks=[cb], verbose=0)
+    tr.fit(params, state, FakeGen())   # no valid_gen -> no val_Jaccard
+    import os
+    assert os.path.exists(path)
