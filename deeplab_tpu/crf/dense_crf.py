@@ -436,11 +436,14 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
                                                splat_planes)
 
     # spatial message: blur directly on the cell planes when the truncated
-    # radius fits inside a cell (always true at the serving configs) — this
+    # radius fits inside a cell AND the cell width is 128-lane aligned (the
+    # kernels' free in-block P-splits are Mosaic shape-casts) — this
     # removes two full image<->cell relayouts per iteration, measured ~46%
-    # of CRF time; otherwise fall back to the image-layout band matmuls
+    # of CRF time; small-sigma cells (e.g. the resolution_scale knob) fall
+    # back to the image-layout band matmuls
     taps_t = tuple(float(t) for t in taps)
-    fuse_spatial = len(taps) // 2 <= min(plan.cs_y, plan.cs_x)
+    fuse_spatial = (len(taps) // 2 <= min(plan.cs_y, plan.cs_x)
+                    and plan.cs_x % 128 == 0)
 
     def spatial(Q, gn):
         """blur(Q * g_norm) — the multiply happens inside the blur kernel
@@ -480,8 +483,16 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
         cs_y=plan.cs_y, cs_x=plan.cs_x, h=plan.h, w=plan.w, nx=plan.nx,
         Z=plan.Z, gt_prob=float(cfg.gt_prob), interpret=plan.interpret)
     attrs, Q0 = outs[0], outs[1]
-    attrs_sub = outs[2] if len(outs) > 2 else attrs
-    Q0_sub = outs[3] if len(outs) > 2 else None
+    if len(outs) > 2:
+        attrs_sub, Q0_sub = outs[2], outs[3]
+    elif plan.stride > 1:
+        # kernel couldn't emit the subsampled copies (non-128-aligned
+        # cs_x, e.g. small-sigma / resolution_scale cells): XLA fallback
+        from deeplab_tpu.kernels.crf_fused import ATTR_ROWS
+        attrs_sub = plan.subsample(attrs, ATTR_ROWS)
+        Q0_sub = plan.subsample(Q0, L)
+    else:
+        attrs_sub, Q0_sub = attrs, None
     unary_b = None if unary_c is None else unary_c.astype(bf)
 
     def body(Q, Q_sub, last=False):

@@ -743,15 +743,26 @@ def _slice_attrs_kernel(rgb_ref, g_ref, brg_ref, gn_ref, lab_ref, at_ref,
     per_dim = (s0 * s0 + s1 * s1) * b0 + 2.0 * s0 * s1 * b1
     b_self = (per_dim[0:1] * per_dim[1:2] * per_dim[2:3])   # (1, CHUNK)
     # cell-pad mask from geometry: is this pixel inside the h x w image?
-    # (2-D iota over the (cs_y, cs_x) pixel block, then a free minor-merge
-    # reshape — avoids vector integer div/mod by a non-power-of-2 cs_x)
     z = pl.program_id(0)
     iy = (z % Z) // nx
     ix = (z % Z) % nx
-    py = jax.lax.broadcasted_iota(jnp.int32, (cs_y, cs_x), 0)
-    px = jax.lax.broadcasted_iota(jnp.int32, (cs_y, cs_x), 1)
-    valid = ((iy * cs_y + py < h) & (ix * cs_x + px < w)).astype(f32)
-    valid = valid.reshape(1, cs_y * cs_x)
+    if cs_x % 128 == 0:
+        # 2-D iota over the (cs_y, cs_x) pixel block + a free minor-merge
+        # reshape (lane-aligned cs_x only — Mosaic cannot shape-cast a
+        # non-128-multiple minor axis)
+        py = jax.lax.broadcasted_iota(jnp.int32, (cs_y, cs_x), 0)
+        px = jax.lax.broadcasted_iota(jnp.int32, (cs_y, cs_x), 1)
+        valid = ((iy * cs_y + py < h) & (ix * cs_x + px < w)).astype(f32)
+        valid = valid.reshape(1, cs_y * cs_x)
+    else:
+        # flat iota + float division (small-sigma cells, e.g. the
+        # resolution_scale serving knob): the +0.5 offset keeps the floor
+        # exact — the quotient never lands within f32 error of an integer
+        p = jax.lax.broadcasted_iota(jnp.int32, (1, cs_y * cs_x), 1)
+        py = jnp.floor((p.astype(f32) + 0.5)
+                       * (1.0 / cs_x)).astype(jnp.int32)
+        px = p - py * cs_x
+        valid = ((iy * cs_y + py < h) & (ix * cs_x + px < w)).astype(f32)
     # With a subsampled splat the KDE norm estimate can miss a pixel's own
     # mass entirely (a color-isolated pixel off the stride lattice):
     # filt - b_self goes to ~0 or negative, the 1e-20 clamp sends bn to
@@ -804,7 +815,8 @@ def slice_attrs_planes(rgb, grid_t, brg, gn, labels, *, nc: int, L: int,
     BZ, _, P = rgb.shape
     chunk = chunk or P
     sub = stride > 1 and chunk == P and cs_y * cs_x == P \
-        and cs_y % stride == 0 and cs_x % stride == 0
+        and cs_y % stride == 0 and cs_x % stride == 0 \
+        and cs_x % 128 == 0  # Mosaic shape-cast limit (see mf_step_planes)
     # the in-kernel valid-mask geometry assumes whole-cell blocks
     assert chunk == P and cs_y * cs_x == P, (chunk, P, cs_y, cs_x)
     assert nc >= 255.0 * inv_step + 1, (nc, inv_step)  # hat-pad invariant
@@ -901,8 +913,12 @@ def mf_step_planes(attrs, grid_t, brg, f_gauss, q, unary=None, *, nc: int,
         chunk = P
         while nc * L * chunk * 4 > budget and chunk % 2 == 0:
             chunk //= 2
+    # the in-kernel subsample's lane-group reshape needs a 128-aligned
+    # cs_x (Mosaic shape-cast limit); other geometries fall back to the
+    # caller's XLA subsample
     sub = sub_stride > 1 and chunk == P and cs_y * cs_x == P \
-        and cs_y % sub_stride == 0 and cs_x % sub_stride == 0
+        and cs_y % sub_stride == 0 and cs_x % sub_stride == 0 \
+        and cs_x % 128 == 0
     assert P % chunk == 0, (P, chunk)
     assert nc >= 255.0 * inv_step + 1, (nc, inv_step)  # hat-pad invariant
     lspec = pl.BlockSpec((1, L, chunk), lambda z, k: (z, 0, k),
