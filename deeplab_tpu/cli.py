@@ -122,6 +122,17 @@ def cmd_evaluate(args):
     print(f"Mean IOU (published metric): {mean_iou:.4f}")
 
 
+def _crf_config(cfg):
+    from deeplab_tpu.crf import CrfConfig
+    return CrfConfig(
+        sxy_gaussian=cfg.crf.sxy_gaussian,
+        compat_gaussian=cfg.crf.compat_gaussian,
+        sxy_bilateral=cfg.crf.sxy_bilateral,
+        srgb=cfg.crf.srgb,
+        compat_bilateral=cfg.crf.compat_bilateral,
+        n_iters=cfg.crf.n_iters)
+
+
 def cmd_predict(args):
     import jax
     import jax.numpy as jnp
@@ -132,28 +143,39 @@ def cmd_predict(args):
     seg, net = _build(cfg, weights=args.weights)
     h, w = cfg.model.image_size
     os.makedirs(args.out_dir, exist_ok=True)
-    # deliberately the reference notebook's per-image path (forward ->
-    # host argmax -> do_crf with label compression/remap, utils.py:74-91)
-    # rather than the batched Predictor: `predict` mirrors cells 7-9
-    # exactly, including the compressed-label CRF semantics
-    fwd = jax.jit(lambda p, s, x: net.apply(p, s, x)[0])
+    use_crf = args.crf and cfg.crf.enabled
     from deeplab_tpu.data.augment import resize_bilinear
+    if args.notebook_crf:
+        # the reference notebook's per-image path (forward -> host argmax ->
+        # do_crf with label compression/remap, utils.py:74-91): cell-7-9
+        # exact semantics, at the cost of one XLA compile per distinct
+        # per-image label-set SIZE (mean_field's n_labels is static)
+        fwd = jax.jit(lambda p, s, x: net.apply(p, s, x)[0])
+        predict_plain = predict_crf = None
+    else:
+        # default serving path: the whole image -> logits -> CRF pipeline
+        # as ONE compiled function (Predictor), full n_classes label space —
+        # predicting N images with different label sets compiles once
+        from deeplab_tpu.predictor import Predictor
+        predict_plain = Predictor(net, seg.params, seg.state, crf=None,
+                                  compute_dtype=jnp.float32)
+        predict_crf = (Predictor(net, seg.params, seg.state,
+                                 crf=_crf_config(cfg),
+                                 compute_dtype=jnp.float32)
+                       if use_crf else None)
     for path in args.images:
         bgr = resize_bilinear(_imread_bgr(path), (w, h)).astype(np.float32)
-        probs = fwd(seg.params, seg.state, jnp.asarray(bgr[None]))
-        pred = np.argmax(np.asarray(probs), -1)[0].reshape(h, w)
-        pred_raw = pred
-        if args.crf and cfg.crf.enabled:
-            from deeplab_tpu.crf import CrfConfig, do_crf
-            crf_cfg = CrfConfig(
-                sxy_gaussian=cfg.crf.sxy_gaussian,
-                compat_gaussian=cfg.crf.compat_gaussian,
-                sxy_bilateral=cfg.crf.sxy_bilateral,
-                srgb=cfg.crf.srgb,
-                compat_bilateral=cfg.crf.compat_bilateral,
-                n_iters=cfg.crf.n_iters)
-            pred = do_crf(bgr, pred.astype(np.int32), zero_unsure=False,
-                          cfg=crf_cfg)
+        if args.notebook_crf:
+            probs = fwd(seg.params, seg.state, jnp.asarray(bgr[None]))
+            pred = np.argmax(np.asarray(probs), -1)[0].reshape(h, w)
+            pred_raw = pred
+            if use_crf:
+                from deeplab_tpu.crf import do_crf
+                pred = do_crf(bgr, pred.astype(np.int32), zero_unsure=False,
+                              cfg=_crf_config(cfg))
+        else:
+            pred_raw = predict_plain(bgr[None])[0]
+            pred = predict_crf(bgr[None])[0] if use_crf else pred_raw
         stem = os.path.join(args.out_dir,
                             os.path.splitext(os.path.basename(path))[0])
         out = stem + "_mask.png"
@@ -163,9 +185,8 @@ def cmd_predict(args):
         Image.fromarray(colorize_mask(pred)).save(stem + "_color.png")
         try:  # the figure needs matplotlib (optional 'viz' extra)
             from deeplab_tpu.viz import plot_predictions
-            panels = [("prediction" + (" + CRF" if args.crf
-                                       and cfg.crf.enabled else ""), pred)]
-            if args.crf and cfg.crf.enabled:
+            panels = [("prediction" + (" + CRF" if use_crf else ""), pred)]
+            if use_crf:
                 panels.insert(0, ("prediction", pred_raw))
             plot_predictions(bgr, panels, path=stem + "_viz.png")
         except Exception as e:  # matplotlib missing OR a broken backend
@@ -211,6 +232,10 @@ def main(argv=None):
     pp.add_argument("--weights")
     pp.add_argument("--images", nargs="+", required=True)
     pp.add_argument("--crf", action="store_true")
+    pp.add_argument("--notebook-crf", action="store_true",
+                    help="use the notebook's per-image compressed-label CRF "
+                         "(cells 7-9 exact; recompiles per label-set size) "
+                         "instead of the single-compile Predictor pipeline")
     pp.add_argument("--out-dir", default="preds")
     pp.set_defaults(fn=cmd_predict)
 

@@ -197,6 +197,27 @@ class SegmentationGenerator:
         random.shuffle(c)
         self.image_path_list, self.label_path_list = zip(*c)
 
+    # The preallocated batch buffers are scratch: drop them when pickling
+    # (pipeline workers receive the generator by pickle — shipping ~50 MB
+    # of zeros per worker per epoch would dwarf the payload that matters,
+    # the current epoch's shuffled path lists) and reallocate on arrival.
+    _SCRATCH = ("X", "SW", "Y", "F", "F_SW")
+
+    def __getstate__(self):
+        return {k: v for k, v in self.__dict__.items()
+                if k not in self._SCRATCH}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        h, w = self._hw
+        n_px = h * w
+        bs = self.batch_size
+        self.X = np.zeros((bs, h, w, 3), dtype="float32")
+        self.SW = np.zeros((bs, n_px), dtype="float32")
+        self.Y = np.zeros((bs, n_px, 1), dtype="float32")
+        self.F = np.zeros((bs, n_px, 1), dtype="float32")
+        self.F_SW = np.zeros((bs, n_px), dtype="float32")
+
 
 def _random_crop(image, label, crop_shape):
     """Reference utils.py:411-423."""
@@ -358,13 +379,23 @@ class MultiprocessPrefetcher:
     unbounded reorder buffer), and a dead worker is detected instead of
     hanging the training loop.
 
-    Workers are forked fresh at the start of every iteration so they see
-    the generator's current epoch state (``on_epoch_end`` shuffles happen
-    in the parent) and get fresh epoch-dependent RNG seeds.  Batches cross
-    the process boundary by pickling, so they are copies — no aliasing of
-    the generator's internal buffers.  Workers touch only numpy/PIL; they
+    Workers are started fresh at every iteration so they see the
+    generator's current epoch state (``on_epoch_end`` shuffles happen in
+    the parent, and the generator is re-pickled to the new workers) and
+    get fresh epoch-dependent RNG seeds.  Batches cross the process
+    boundary by pickling, so they are copies — no aliasing of the
+    generator's internal buffers.  Workers touch only numpy/PIL; they
     never use jax.
+
+    Workers come from a **forkserver**: bare fork() of the training process
+    is a real deadlock hazard once the TPU runtime client (and its threads)
+    is live, while spawn would re-import jax in every worker every epoch.
+    The forkserver's server process is exec'd clean (no jax, no threads)
+    and preloads the generator module once, so per-epoch workers are cheap
+    forks of a safe parent.
     """
+
+    _PRELOAD = ["deeplab_tpu.data.generator"]
 
     def __init__(self, gen, workers: Optional[int] = None,
                  max_queue_size: int = 10, seed: int = 0):
@@ -378,7 +409,14 @@ class MultiprocessPrefetcher:
         import multiprocessing as mp
         n = len(self.gen)
         w = max(1, min(self.workers, n))
-        ctx = mp.get_context("fork")
+        ctx = mp.get_context("forkserver")
+        try:
+            # no-op once the server is running; before that it makes every
+            # future worker fork with numpy/PIL (and the module graph the
+            # pickled generator needs) already imported
+            ctx.set_forkserver_preload(self._PRELOAD)
+        except Exception:  # pragma: no cover - exotic platforms
+            ctx = mp.get_context("spawn")
         per_q = max(1, self.max_queue_size // w)
         queues, procs = [], []
         for wi in range(w):

@@ -23,12 +23,35 @@ from deeplab_tpu.parallel.mesh import (data_sharding, get_mesh,
 from deeplab_tpu.train.optimizer import freeze_set, make_optimizer, mask_frozen
 
 
+def _served_batch_sizes(gen):
+    """Distinct batch sizes ``gen`` will serve this epoch, from metadata
+    when possible (no image decode).
+
+    Both in-repo generators slice ``[i*bs:(i+1)*bs]`` out of n samples, so
+    batch i has ``min(bs, n - i*bs)`` rows — i.e. ``bs`` everywhere except
+    possibly the last served batch.  Unknown generator types fall back to
+    materializing batch 0 (and remain guarded per-batch in the fit loop).
+    """
+    bs = getattr(gen, "batch_size", None)
+    n = None
+    for attr in ("image_path_list", "X"):
+        src = getattr(gen, attr, None)
+        if src is not None:
+            n = len(src)
+            break
+    if bs is not None and n is not None and len(gen) > 0:
+        last = min(bs, n - (len(gen) - 1) * bs)
+        return sorted({min(bs, n), last})
+    X0, _, _ = gen[0]
+    return [X0.shape[0]]
+
+
 class Trainer:
     def __init__(self, model, epochs: int = 20, callbacks: Iterable = (),
                  lr: float = 7e-4, epsilon: float = 1e-8, decay: float = 1e-6,
                  freeze_before: Optional[str] = None, mesh=None, seed: int = 0,
                  verbose: int = 1, spatial: bool = False,
-                 compute_dtype=None, remat: bool = False,
+                 compute_dtype=None, eval_dtype=None, remat: bool = False,
                  workers: int = 1, use_multiprocessing: bool = False):
         self.model = model
         self.epochs = epochs
@@ -46,6 +69,9 @@ class Trainer:
         # bf16 activations halve HBM traffic and double MXU rate; params,
         # grads and the optimizer stay f32 (mixed precision).
         self.compute_dtype = compute_dtype or jnp.float32
+        # separate knob for validation numerics (defaults to f32 — see
+        # eval_step)
+        self.eval_dtype = eval_dtype or jnp.float32
         # jax.checkpoint around the forward: trade recompute for activation
         # memory (large batches / big images).
         self.remat = remat
@@ -63,6 +89,7 @@ class Trainer:
         self.state = None
         self.opt_state = None
         self._predict_fns = None
+        self._predict_mesh = None  # mesh the cached predict jits target
         for cb in self.callbacks:
             cb.set_trainer(self)
 
@@ -102,10 +129,13 @@ class Trainer:
             return params, new_state, opt_state, metrics
 
         def eval_step(params, state, X, Y, SW):
-            # validation runs under the same numeric regime as training
-            # (bf16 halves eval HBM traffic; metrics reduce in f32)
+            # validation defaults to f32 regardless of compute_dtype:
+            # val_Jaccard drives ModelCheckpoint/plateau/EarlyStopping
+            # decisions, and the reference's Keras validation is f32 — a
+            # bf16 eval can flip best-epoch selection.  Pass
+            # eval_dtype=jnp.bfloat16 to trade that parity for HBM traffic.
             probs, _ = model.apply(params, state, X,
-                                   compute_dtype=self.compute_dtype)
+                                   compute_dtype=self.eval_dtype)
             return {
                 "loss": masked_sparse_ce(Y, probs, SW),
                 "Jaccard": Jaccard(Y, probs),
@@ -163,16 +193,16 @@ class Trainer:
         # the largest usable submesh rather than padding — padding would
         # contaminate BN batch statistics.  The declared batch_size is not
         # enough: ArrayBatcher serves a SHORTER batch when the dataset is
-        # smaller than batch_size, so probe the first train/val batches too.
+        # smaller than batch_size, so also account for the final batch.
+        # Metadata (sample count + batch size) answers both without
+        # materializing a batch; only an unknown generator type pays an
+        # actual __getitem__ probe.
         import math
         sizes = []
-        bs = getattr(train_gen, "batch_size", None)
-        if bs is not None:
-            sizes.append(bs)
-        X0, _, _ = train_gen[0]
-        sizes.append(X0.shape[0])
-        if valid_gen is not None and len(valid_gen) > 0:
-            sizes.append(valid_gen[0][0].shape[0])
+        for g in (train_gen, valid_gen):
+            if g is None or len(g) == 0:
+                continue
+            sizes.extend(_served_batch_sizes(g))
         n_data = self.mesh.shape["data"]
         usable = n_data
         for s in sizes:
@@ -207,10 +237,24 @@ class Trainer:
             initial_epoch = max(initial_epoch, extra.get("epoch", 0))
             # restore callback bookkeeping (ModelCheckpoint.best, plateau /
             # early-stop counters) — without it the first post-resume epoch
-            # would overwrite the best-weights h5 with possibly worse ones
-            for cb, cb_state in zip(self.callbacks,
-                                    extra.get("callbacks", [])):
-                cb.set_state(cb_state)
+            # would overwrite the best-weights h5 with possibly worse ones.
+            # States are keyed by callback class name (first-fit among
+            # unmatched) so a changed callback list between save and resume
+            # can't silently apply counters to the wrong callback; plain
+            # dicts (pre-round-3 checkpoints) fall back to positional zip.
+            saved = list(extra.get("callbacks", []))
+            if saved and all(isinstance(s, (list, tuple)) and len(s) == 2
+                             and isinstance(s[0], str) for s in saved):
+                unmatched = list(self.callbacks)
+                for name, cb_state in saved:
+                    for cb in unmatched:
+                        if type(cb).__name__ == name:
+                            cb.set_state(cb_state)
+                            unmatched.remove(cb)
+                            break
+            else:
+                for cb, cb_state in zip(self.callbacks, saved):
+                    cb.set_state(cb_state)
             if self.verbose:
                 print(f"resumed from {resume_from} "
                       f"(epoch {initial_epoch}, step {step})")
@@ -237,6 +281,17 @@ class Trainer:
                 if pipe is not None and hasattr(pipe, "close"):
                     pipe.close()
 
+    def _check_batch_divides(self, X):
+        """Catch an indivisible batch (unknown generator type serving a
+        ragged size the metadata probe could not predict) with an
+        actionable error instead of a cryptic sharding failure."""
+        n_data = self.mesh.shape["data"]
+        if X.shape[0] % n_data:
+            raise ValueError(
+                f"batch of {X.shape[0]} does not divide the mesh 'data' "
+                f"axis ({n_data}); make batch sizes (including the final "
+                f"batch) multiples of {n_data}, or pass a smaller mesh")
+
     def _fit_loop(self, train_gen, train_pipe, valid_gen, valid_pipe,
                   initial_epoch, train_jit, eval_jit, base_rng, history,
                   data_sh, img_sh, step, state_checkpoint):
@@ -245,6 +300,7 @@ class Trainer:
             sums, n_batches = {}, 0
             for X, Y, sw_dict in train_pipe:
                 SW = sw_dict["pred_mask"] if isinstance(sw_dict, dict) else sw_dict
+                self._check_batch_divides(X)
                 # host numpy -> per-shard transfer in one hop (jnp.asarray
                 # first would land the whole batch on one device and reshard)
                 X = jax.device_put(np.asarray(X), img_sh)
@@ -267,6 +323,7 @@ class Trainer:
                 for X, Y, sw_dict in valid_pipe:
                     SW = (sw_dict["pred_mask"] if isinstance(sw_dict, dict)
                           else sw_dict)
+                    self._check_batch_divides(X)
                     X = jax.device_put(np.asarray(X), img_sh)
                     Y = jax.device_put(np.asarray(Y), data_sh)
                     SW = jax.device_put(np.asarray(SW), data_sh)
@@ -293,7 +350,7 @@ class Trainer:
                     state_checkpoint, self.params, self.state,
                     self.opt_state, step, self.lr_scale,
                     extra={"epoch": epoch + 1,
-                           "callbacks": [cb.get_state()
+                           "callbacks": [[type(cb).__name__, cb.get_state()]
                                          for cb in self.callbacks]})
             if self.stop_training:
                 break
@@ -309,9 +366,13 @@ class Trainer:
         n_data = self.mesh.shape["data"]
         repl = replicated_sharding(self.mesh)
         data_sh = data_sharding(self.mesh)
-        if self._predict_fns is None:
+        if self._predict_fns is None or self._predict_mesh is not self.mesh:
             # cache the jitted forwards: fresh lambdas would retrace (and
-            # recompile) on every predict() call
+            # recompile) on every predict() call.  Keyed on the mesh object:
+            # fit() may have shrunk self.mesh to a submesh, and a cached jit
+            # bound to the old device set would reject arrays placed on the
+            # new one.
+            self._predict_mesh = self.mesh
             self._predict_fns = (
                 jax.jit(lambda p, s, x: self.model.apply(p, s, x)[0],
                         in_shardings=(repl, repl, data_sh),

@@ -80,8 +80,11 @@ def calculate_iou(net, params, state, generator, nb_classes: int = 21,
         conf += np.asarray(_confusion_matrix(labels, preds, nb_classes),
                            np.int64)
     conf_ref = np.roll(conf, (-1, -1), axis=(0, 1))    # the cell-10 quirk
-    iou = iou_from_confusion(jnp.asarray(conf))
-    mean_iou = mean_iou_published(jnp.asarray(conf_ref))
+    # cast to float on the HOST: jnp.asarray(int64) canonicalizes to int32
+    # (x64 disabled), which would re-introduce the wrap the int64
+    # accumulator exists to prevent
+    iou = iou_from_confusion(jnp.asarray(conf.astype(np.float64)))
+    mean_iou = mean_iou_published(jnp.asarray(conf_ref.astype(np.float64)))
     return (conf_ref if ref_shift else conf,
             np.asarray(iou), float(mean_iou))
 
