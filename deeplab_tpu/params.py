@@ -34,17 +34,34 @@ def _strip(name: str) -> str:
     return name[:-2] if name.endswith(":0") else name
 
 
+def _attr_list(g, name):
+    """Read a Keras list attribute, including the legacy chunked form.
+
+    Keras 2's ``save_attributes_to_hdf5_group`` splits a list that exceeds
+    HDF5's 64 KB attribute limit into ``name0``, ``name1``, ... chunks
+    (keras/engine/saving.py in 2.2.4); big models' ``layer_names`` /
+    ``weight_names`` ship that way.  Returns [] when the attribute is
+    absent in either form.
+    """
+    if name in g.attrs:
+        vals = g.attrs[name]
+    else:
+        vals, k = [], 0
+        while f"{name}{k}" in g.attrs:
+            vals.extend(g.attrs[f"{name}{k}"])
+            k += 1
+    return [n.decode() if isinstance(n, bytes) else n for n in vals]
+
+
 def _iter_h5_layers(f):
     """Yield (layer_name, {var_name: np.ndarray}) from a Keras weights h5."""
     g = f["model_weights"] if "model_weights" in f else f
-    layer_names = [n.decode() if isinstance(n, bytes) else n
-                   for n in g.attrs.get("layer_names", list(g.keys()))]
+    layer_names = _attr_list(g, "layer_names") or list(g.keys())
     for lname in layer_names:
         if lname not in g:
             continue
         grp = g[lname]
-        weight_names = [n.decode() if isinstance(n, bytes) else n
-                        for n in grp.attrs.get("weight_names", [])]
+        weight_names = _attr_list(grp, "weight_names")
         if not weight_names:
             # fall back: walk datasets
             out = {}
