@@ -1,11 +1,34 @@
-"""Headline benchmark: 512x512 MobileNetV2-DeepLabV3+ inference throughput.
+"""Headline benchmark: 512x512 MobileNetV2-DeepLabV3+ on one TPU chip.
 
 Baseline target (BASELINE.json): >=2000 images/sec on v5e-8 with CRF, i.e.
-250 img/s/chip.  ``vs_baseline`` is measured img/s/chip over 250.
+250 img/s/chip.  ``vs_baseline`` is measured img/s/chip over 250 for
+inference stages; training stages compare against the reference's only
+training datapoint (~25 img/s fine-tune on a 1080Ti, README.md:19); the
+B=1 latency stage compares against the 4 ms/img budget the 250 img/s/chip
+target implies.
 
-Prints one JSON line per stage (model-only, CRF-only) and the HEADLINE
-(model + 5-iteration dense-CRF) as the LAST line:
-  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N/250}
+Stages (one JSON line each; the HEADLINE — model + 5-iteration dense CRF —
+is ALWAYS the last line):
+  - inference (model only), bf16 argmax path
+  - dense-CRF only, throughput config (color_step=2.5, splat_stride=4)
+  - dense-CRF only, reference-faithful default (color_step=1,
+    splat_stride=1 — the exact pydensecrf parameter mirror, utils.py:78-86)
+    Both CRF stages report MAP agreement with the committed exact-oracle
+    goldens (tests/goldens/crf).
+  - B=1 serving latency (model + CRF, single image)
+  - training, full network bf16 (bs=64) and frozen fine-tune bf16 (bs=32,
+    freeze before 'concat_projection' — notebook cell 5)
+  - Xception backbone model+CRF (bs=16)
+  - HEADLINE: model+CRF at BATCH
+
+Inference/training stages also report XLA cost-analysis FLOPs and the
+implied MFU against the v5e bf16 peak (197 TFLOP/s) plus HBM utilization
+against ~810 GB/s — the anchor for "is this number good" (the full train
+step measures ~94% of the HBM roofline: MobileNetV2 is bandwidth-bound).
+
+Env knobs: BENCH_BATCH (default 64), BENCH_NET (original|subpixel),
+BENCH_BACKBONE (mobilenetv2|xception — switches the whole bench),
+BENCH_STAGES (comma list to subset; default all).
 
 Timing methodology: dispatches are queued asynchronously (device-side
 checksums chain nothing to the host) and fetched once at the end, so the
@@ -20,8 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compile cache: a warm .jax_cache cuts the ~12 min of XLA
-# compilation out of repeat runs (first run populates it)
+# persistent compile cache: a warm .jax_cache cuts the XLA compilation
+# out of repeat runs (first run populates it)
 try:
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -31,50 +54,106 @@ try:
 except Exception:
     pass
 
-# BENCH_NET=subpixel benchmarks the pixel-shuffle head variant
 NET = os.environ.get("BENCH_NET", "original")
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+BACKBONE = os.environ.get("BENCH_BACKBONE", "mobilenetv2")
+BATCH = int(os.environ.get("BENCH_BATCH",
+                           "64" if BACKBONE == "mobilenetv2" else "16"))
+STAGES = set(os.environ.get(
+    "BENCH_STAGES",
+    "model,crf,crf_ref,latency,train,finetune,xception,headline").split(","))
 WARMUP = 3
 ITERS = 20
-BASELINE_PER_CHIP = 2000.0 / 8.0  # v5e-8 target split per chip
+BASELINE_PER_CHIP = 2000.0 / 8.0   # v5e-8 target split per chip
+TRAIN_BASELINE = 25.0              # 1080Ti fine-tune anecdote (README.md:19)
+PEAK_BF16 = 197e12                 # v5e per-chip bf16 FLOP/s
+PEAK_HBM = 810e9                   # v5e per-chip HBM B/s
+
+SZ = (512, 512)
+N_PX = SZ[0] * SZ[1]
 
 
-def timeit(fn, checksum, iters=ITERS):
+def timeit(fn, checksum, iters=ITERS, warmup=WARMUP):
     """Queue ``iters`` async dispatches, force them with one final fetch."""
-    for _ in range(WARMUP):
+    for _ in range(warmup):
         np.asarray(checksum(fn()))
     t0 = time.perf_counter()
     sums = [checksum(fn()) for _ in range(iters)]
     np.asarray(jnp.stack(sums)).sum()
-    return time.perf_counter() - t0
+    return (time.perf_counter() - t0) / iters
 
 
-def emit(name, ips):
-    print(json.dumps({
-        "metric": f"512x512 VOC {name} images/sec/chip"
-                  + ("" if NET == "original" else f" [{NET}]"),
-        "value": round(ips, 2),
-        "unit": "img/s/chip",
-        "vs_baseline": round(ips / BASELINE_PER_CHIP, 3),
-    }))
+def cost(jitted, *args):
+    """(flops, bytes) per call from XLA cost analysis (best effort)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed",
+                                                         0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def emit(name, value, unit, vs_baseline, **extra):
+    rec = {"metric": name, "value": round(value, 2), "unit": unit,
+           "vs_baseline": round(vs_baseline, 3)}
+    rec.update(extra)
+    print(json.dumps(rec))
+
+
+def util_fields(flops, nbytes, seconds):
+    out = {}
+    if flops:
+        out["gflops_per_call"] = round(flops / 1e9, 1)
+        out["mfu_pct"] = round(100.0 * flops / seconds / PEAK_BF16, 1)
+    if nbytes:
+        out["hbm_gb_per_call"] = round(nbytes / 1e9, 2)
+        out["hbm_util_pct"] = round(100.0 * nbytes / seconds / PEAK_HBM, 1)
+    return out
+
+
+def tag(name):
+    sfx = "" if NET == "original" else f" [{NET}]"
+    sfx += "" if BACKBONE == "mobilenetv2" else f" [{BACKBONE}]"
+    return name + sfx
+
+
+def crf_agreement(cfg):
+    """MAP agreement with the committed exact-oracle goldens (the 21-label
+    96x96 + 128x128 scenes; see tests/test_crf_goldens.py)."""
+    try:
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from crf_scenes import make_scene
+        from deeplab_tpu.crf import mean_field_batched as mf
+        agrees = []
+        for name, H, W, L, seed in (("s96_21l", 96, 96, 21, 3),
+                                    ("s128_21l", 128, 128, 21, 5)):
+            golden = np.load(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tests",
+                "goldens", "crf", name + ".npz"))["golden"]
+            im, mask = make_scene(H, W, L, seed)
+            out = np.asarray(mf(jnp.asarray(im)[None],
+                                jnp.asarray(mask)[None], cfg, L))[0]
+            agrees.append(float(np.mean(out == golden)))
+        return round(min(agrees), 4)
+    except Exception:
+        return None
 
 
 def main():
     from deeplab_tpu.models.seg_model import SegNet
 
-    model = SegNet((512, 512), 21, "mobilenetv2", NET)
+    model = SegNet(SZ, 21, BACKBONE, NET)
     params, state = model.init(jax.random.key(0))
 
-    crf_cfg = None
-    try:
-        from deeplab_tpu.crf import CrfConfig, mean_field_batched
-        # throughput config: color grid at 2.5 sigma, splat subsampled 4x
-        # (>=99.0% MAP agreement with the exact mean-field oracle on every
-        # committed 21-label golden scene, both backends; see
-        # tests/test_crf_goldens.py::test_headline_config_matches_oracle)
-        crf_cfg = CrfConfig(color_step=2.5, splat_stride=4)
-    except Exception:
-        mean_field_batched = None
+    from deeplab_tpu.crf import CrfConfig, mean_field_batched
+    # throughput config: color grid at 2.5 sigma, splat subsampled 4x
+    # (>=99.0% MAP agreement with the exact mean-field oracle on every
+    # committed 21-label golden scene, both backends; see
+    # tests/test_crf_goldens.py::test_headline_config_matches_oracle)
+    crf_cfg = CrfConfig(color_step=2.5, splat_stride=4)
+    # reference-faithful default: the exact pydensecrf parameter mirror
+    crf_ref_cfg = CrfConfig()
 
     @jax.jit
     def model_only(params, state, img):
@@ -87,35 +166,125 @@ def main():
         return mean_field_batched(img, preds, crf_cfg)
 
     @jax.jit
+    def crf_only_ref(img, preds):
+        return mean_field_batched(img, preds, crf_ref_cfg)
+
+    @jax.jit
     def infer(params, state, img):
         preds = model_only(params, state, img)
-        if mean_field_batched is not None:
-            preds = mean_field_batched(img, preds, crf_cfg)
-        return preds
+        return mean_field_batched(img, preds, crf_cfg)
 
     @jax.jit
     def checksum(x):
         return jnp.sum(x, dtype=jnp.int32)
 
     rng = np.random.RandomState(0)
-    img = jnp.asarray(rng.rand(BATCH, 512, 512, 3) * 255, jnp.float32)
+    img = jnp.asarray(rng.rand(BATCH, SZ[0], SZ[1], 3) * 255, jnp.float32)
 
     # warm the dispatch path: the axon tunnel's first dozen dispatches in a
     # fresh process are slow and would deflate whichever stage runs first
     for _ in range(12):
         np.asarray(checksum(img[:1, :8, :8]))
 
-    t_model = timeit(lambda: model_only(params, state, img), checksum)
-    emit("inference (model only)", BATCH * ITERS / t_model)
+    if "model" in STAGES:
+        dt = timeit(lambda: model_only(params, state, img), checksum)
+        fl, by = cost(model_only, params, state, img)
+        emit(tag("512x512 VOC inference (model only) images/sec/chip"),
+             BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP,
+             **util_fields(fl, by, dt))
 
-    if mean_field_batched is not None:
-        preds0 = model_only(params, state, img)
-        t_crf = timeit(lambda: crf_only(img, preds0), checksum)
-        emit("dense-CRF only (5 iters)", BATCH * ITERS / t_crf)
+    preds0 = model_only(params, state, img)
 
-    t_full = timeit(lambda: infer(params, state, img), checksum)
-    crf_tag = "+CRF" if mean_field_batched is not None else ""
-    emit(f"inference{crf_tag}", BATCH * ITERS / t_full)
+    if "crf" in STAGES:
+        dt = timeit(lambda: crf_only(img, preds0), checksum)
+        emit(tag("512x512 VOC dense-CRF only (5 iters, throughput cfg) "
+                 "images/sec/chip"),
+             BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP,
+             golden_agreement=crf_agreement(crf_cfg))
+
+    if "crf_ref" in STAGES:
+        dt = timeit(lambda: crf_only_ref(img, preds0), checksum)
+        emit(tag("512x512 VOC dense-CRF only (5 iters, reference-faithful "
+                 "cfg) images/sec/chip"),
+             BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP,
+             golden_agreement=crf_agreement(crf_ref_cfg))
+
+    if "latency" in STAGES:
+        img1 = img[:1]
+        # fetch the mask each call: latency includes the device->host sync
+        def once():
+            return np.asarray(infer(params, state, img1))
+        for _ in range(WARMUP):
+            once()
+        t0 = time.perf_counter()
+        n = 40
+        for _ in range(n):
+            once()
+        ms = (time.perf_counter() - t0) / n * 1e3
+        emit(tag("512x512 VOC B=1 serving latency (model+CRF)"), ms, "ms",
+             4.0 / ms)
+
+    if "train" in STAGES or "finetune" in STAGES:
+        from deeplab_tpu.train.trainer import Trainer
+        from deeplab_tpu.train.optimizer import freeze_set
+
+        def bench_train(bs, frozen, label, baseline=TRAIN_BASELINE):
+            tr = Trainer(model, verbose=0, compute_dtype=jnp.bfloat16)
+            train_jit, _, tx = tr._build_steps(frozen)
+            X = jnp.asarray(rng.rand(bs, SZ[0], SZ[1], 3) * 255,
+                            jnp.float32)
+            Y = jnp.asarray(rng.randint(0, 21, (bs, N_PX, 1)), jnp.float32)
+            SW = jnp.ones((bs, N_PX), jnp.float32)
+            p = jax.tree.map(jnp.array, params)
+            s = jax.tree.map(jnp.array, state)
+            o = tx.init(p)
+            key = jax.random.key(0)
+            lr = jnp.float32(1.0)
+            fl, by = cost(train_jit, p, s, o, lr, key, X, Y, SW)
+            nonlocal_state = [p, s, o]
+
+            def step():
+                p, s, o = nonlocal_state
+                p, s, o, m = train_jit(p, s, o, lr, key, X, Y, SW)
+                nonlocal_state[:] = [p, s, o]
+                return m["loss"]
+
+            dt = timeit(step, lambda x: x, iters=10)
+            emit(tag(label), bs / dt, "img/s/chip", (bs / dt) / baseline,
+                 batch=bs, **util_fields(fl, by, dt))
+
+        if "train" in STAGES:
+            bench_train(64, frozenset(),
+                        "512x512 VOC train step (full network, bf16) "
+                        "images/sec/chip")
+        if "finetune" in STAGES:
+            fz = freeze_set(params, "concat_projection",
+                            order=model.layer_order)
+            bench_train(32, fz,
+                        "512x512 VOC train step (frozen fine-tune, bf16) "
+                        "images/sec/chip")
+
+    if "xception" in STAGES and BACKBONE == "mobilenetv2":
+        xm = SegNet(SZ, 21, "xception", NET)
+        xp, xs = xm.init(jax.random.key(0))
+        xbs = 16
+
+        @jax.jit
+        def xinfer(p, s, im):
+            pr = xm.predict_ids(p, s, im, compute_dtype=jnp.bfloat16)
+            return mean_field_batched(im, pr, crf_cfg)
+
+        ximg = img[:xbs]
+        dt = timeit(lambda: xinfer(xp, xs, ximg), checksum)
+        fl, by = cost(xinfer, xp, xs, ximg)
+        emit("512x512 VOC inference+CRF [xception] images/sec/chip",
+             xbs / dt, "img/s/chip", (xbs / dt) / BASELINE_PER_CHIP,
+             **util_fields(fl, by, dt))
+
+    # HEADLINE — must stay the LAST line
+    dt = timeit(lambda: infer(params, state, img), checksum)
+    emit(tag("512x512 VOC inference+CRF images/sec/chip"),
+         BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP)
 
 
 if __name__ == "__main__":

@@ -48,9 +48,19 @@ class Ctx:
                 layer_params[name] = init_fn(sub, shape, dtype)
             return layer_params[name]
         try:
-            return self.params[layer][name]
+            p = self.params[layer][name]
         except KeyError as e:
             raise KeyError(f"missing param {layer}/{name}") from e
+        if layer in self.frozen:
+            # Freezing detaches the param from the autodiff graph (its grad
+            # is zero by construction, matching Keras trainable=False).
+            # Because the freeze region is a prefix of the network (the
+            # notebook's freeze-before-'concat_projection' policy), no
+            # trainable param lives upstream of it, so XLA dead-code
+            # eliminates the ENTIRE trunk backward pass — fine-tune steps
+            # cost roughly a forward pass instead of a full train step.
+            p = jax.lax.stop_gradient(p)
+        return p
 
     def stat(self, layer: str, name: str, shape, init_val: float, dtype=jnp.float32):
         """Fetch a non-trainable statistic (e.g. BN moving mean/var)."""

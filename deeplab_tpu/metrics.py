@@ -18,8 +18,16 @@ import jax.numpy as jnp
 def sparse_accuracy_ignoring_last_label(y_true, y_pred):
     """y_true: (B, N, 1); y_pred: (B, N, C) probs/logits."""
     nb_classes = y_pred.shape[-1]
-    labels = y_true.reshape(-1).astype(jnp.int32)
     pred = jnp.argmax(y_pred.reshape(-1, nb_classes), axis=-1)
+    return accuracy_from_ids(y_true.reshape(-1), pred, nb_classes)
+
+
+def accuracy_from_ids(labels, pred, nb_classes: int):
+    """Masked pixel accuracy from flat label/prediction id arrays (the
+    post-argmax core of :func:`sparse_accuracy_ignoring_last_label` —
+    lets callers that already hold hard predictions skip the probs)."""
+    labels = labels.reshape(-1).astype(jnp.int32)
+    pred = pred.reshape(-1).astype(jnp.int32)
     legal = labels != nb_classes
     correct = jnp.sum((legal & (labels == pred)).astype(jnp.float32))
     return correct / jnp.maximum(jnp.sum(legal.astype(jnp.float32)), 1.0)
@@ -30,7 +38,13 @@ def Jaccard(y_true, y_pred):
     nb_classes = y_pred.shape[-1]
     labels = y_true[..., 0].astype(jnp.int32)              # (B, N)
     pred = jnp.argmax(y_pred, axis=-1).astype(jnp.int32)   # (B, N)
+    return jaccard_from_ids(labels, pred, nb_classes)
 
+
+def jaccard_from_ids(labels, pred, nb_classes: int):
+    """Mean IoU from per-pixel id maps; labels/pred: (B, N) ints."""
+    labels = labels.astype(jnp.int32)
+    pred = pred.astype(jnp.int32)
     class_ids = jnp.arange(nb_classes)
     true_oh = labels[..., None] == class_ids               # (B, N, C)
     pred_oh = pred[..., None] == class_ids

@@ -46,7 +46,7 @@ class SegNet:
     def forward(self, ctx, img):
         return self._forward(ctx, img, softmax=True)
 
-    def _forward(self, ctx, img, softmax: bool):
+    def _forward(self, ctx, img, softmax: bool, flatten: bool = True):
         feats = deeplabv3_forward(ctx, img, backbone=self.backbone,
                                   OS=self.OS, alpha=self.alpha, classes=21,
                                   return_features=True)
@@ -62,6 +62,8 @@ class SegNet:
             x = phase_shift(x, r)
         else:
             raise ValueError(f"unknown net {self.net!r}")
+        if not flatten:
+            return x        # (B, H, W, n) head logits, compute dtype
         x = x.reshape(x.shape[0], self.sz[0] * self.sz[1], n)
         if not softmax:
             return x        # head logits, compute dtype (serving argmax path)
@@ -79,6 +81,21 @@ class SegNet:
               frozen: frozenset = frozenset(), compute_dtype=None):
         return core.apply_model(self.forward, params, state, img,
                                 training=training, rng=rng, frozen=frozen,
+                                compute_dtype=compute_dtype or jnp.float32)
+
+    def apply_logits(self, params, state, img, training: bool = False,
+                     rng=None, frozen: frozenset = frozenset(),
+                     compute_dtype=None):
+        """(B, H, W, n) head LOGITS in compute dtype — the Trainer's fused
+        training path.  Skipping the flatten + f32 softmax over every pixel
+        avoids two full-resolution relayout/materialization passes that
+        profiled at ~25% of the 512x512 train step; the fused
+        log-softmax CE (losses.masked_sparse_ce_logits) reproduces the
+        reference loss on softmax probabilities (utils.py:127-130)."""
+        fn = lambda ctx, im: self._forward(ctx, im, softmax=False,
+                                           flatten=False)
+        return core.apply_model(fn, params, state, img, training=training,
+                                rng=rng, frozen=frozen,
                                 compute_dtype=compute_dtype or jnp.float32)
 
     def predict_ids(self, params, state, img, compute_dtype=None):

@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from deeplab_tpu.losses import masked_sparse_ce
-from deeplab_tpu.metrics import Jaccard, sparse_accuracy_ignoring_last_label
+from deeplab_tpu.losses import masked_sparse_ce, masked_sparse_ce_logits
+from deeplab_tpu.metrics import accuracy_from_ids, jaccard_from_ids
 from deeplab_tpu.parallel.mesh import (data_sharding, get_mesh,
                                        replicated_sharding)
 from deeplab_tpu.train.optimizer import freeze_set, make_optimizer, mask_frozen
@@ -101,31 +101,60 @@ class Trainer:
     def _build_steps(self, frozen: frozenset):
         tx = make_optimizer(self.base_lr, self.epsilon, self.decay)
         model = self.model
+        # Fused path (models exposing apply_logits, i.e. SegNet): train on
+        # (B, H, W, C) head logits with a fused log-softmax CE and
+        # ids-based metrics.  Skipping the flatten + f32 softmax
+        # materialization over every pixel removes the full-resolution
+        # relayout copies that profiled at ~25% of the 512x512 train step;
+        # loss/metrics match the probs path up to Keras's 1e-7 clip (see
+        # losses.sparse_logits_crossentropy_ignoring_last_label).
+        fused = hasattr(model, "apply_logits")
 
-        def forward(p, state, X, rng):
-            return model.apply(p, state, X, training=True, rng=rng,
-                               frozen=frozen,
-                               compute_dtype=self.compute_dtype)
+        def metrics_from(Y, per_px_ids, n_classes):
+            labels = Y[..., 0].astype(jnp.int32)
+            preds = per_px_ids.reshape(labels.shape)
+            return {
+                "Jaccard": jaccard_from_ids(labels, preds, n_classes),
+                "sparse_accuracy": accuracy_from_ids(labels, preds,
+                                                     n_classes),
+            }
+
+        if fused:
+            def forward(p, state, X, rng):
+                return model.apply_logits(p, state, X, training=True,
+                                          rng=rng, frozen=frozen,
+                                          compute_dtype=self.compute_dtype)
+        else:
+            def forward(p, state, X, rng):
+                return model.apply(p, state, X, training=True, rng=rng,
+                                   frozen=frozen,
+                                   compute_dtype=self.compute_dtype)
 
         if self.remat:
             forward = jax.checkpoint(forward)
 
+        def compute_loss(out, X, Y, SW):
+            if fused:
+                b, h, w = X.shape[0], X.shape[1], X.shape[2]
+                return masked_sparse_ce_logits(
+                    Y[..., 0].reshape(b, h, w), out,
+                    SW.reshape(b, h, w))
+            return masked_sparse_ce(Y, out, SW)
+
         def train_step(params, state, opt_state, lr_scale, rng, X, Y, SW):
             def loss_fn(p):
-                probs, new_state = forward(p, state, X, rng)
-                return masked_sparse_ce(Y, probs, SW), (probs, new_state)
+                out, new_state = forward(p, state, X, rng)
+                return compute_loss(out, X, Y, SW), (out, new_state)
 
-            (loss, (probs, new_state)), grads = jax.value_and_grad(
+            (loss, (out, new_state)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             updates = mask_frozen(updates, frozen)
             updates = jax.tree.map(lambda u: u * lr_scale, updates)
             params = optax.apply_updates(params, updates)
-            metrics = {
-                "loss": loss,
-                "Jaccard": Jaccard(Y, probs),
-                "sparse_accuracy": sparse_accuracy_ignoring_last_label(Y, probs),
-            }
+            metrics = {"loss": loss}
+            metrics.update(metrics_from(Y, jnp.argmax(out, axis=-1),
+                                        out.shape[-1]))
             return params, new_state, opt_state, metrics
 
         def eval_step(params, state, X, Y, SW):
@@ -134,13 +163,16 @@ class Trainer:
             # decisions, and the reference's Keras validation is f32 — a
             # bf16 eval can flip best-epoch selection.  Pass
             # eval_dtype=jnp.bfloat16 to trade that parity for HBM traffic.
-            probs, _ = model.apply(params, state, X,
-                                   compute_dtype=self.eval_dtype)
-            return {
-                "loss": masked_sparse_ce(Y, probs, SW),
-                "Jaccard": Jaccard(Y, probs),
-                "sparse_accuracy": sparse_accuracy_ignoring_last_label(Y, probs),
-            }
+            if fused:
+                out, _ = model.apply_logits(params, state, X,
+                                            compute_dtype=self.eval_dtype)
+            else:
+                out, _ = model.apply(params, state, X,
+                                     compute_dtype=self.eval_dtype)
+            metrics = {"loss": compute_loss(out, X, Y, SW)}
+            metrics.update(metrics_from(Y, jnp.argmax(out, axis=-1),
+                                        out.shape[-1]))
+            return metrics
 
         repl = replicated_sharding(self.mesh)
         data = data_sharding(self.mesh)
