@@ -495,6 +495,23 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
         attrs_sub, Q0_sub = attrs, None
     unary_b = None if unary_c is None else unary_c.astype(bf)
 
+    # Large color grids (reference-faithful color_step=1 -> nc ~ 21, i.e.
+    # (448, 512) padded grid blocks) push the splat kernel's in-VMEM
+    # hat-factor scratch past the 16 MB scoped limit at chunk=P.  Split
+    # the pixel axis for those; cross-chunk accumulation forces the f32
+    # grid (the direct-bf16 write needs a single chunk).  The headline
+    # grid (nc=9) keeps the single-chunk bf16 fast path unchanged.
+    big_grid = plan.nc > 16
+
+    def _splat_q(a, v):
+        if big_grid:
+            return splat_planes(a, v, nc=plan.nc, L=L,
+                                inv_step=plan.inv_step,
+                                chunk=v.shape[-1] // 2,
+                                interpret=plan.interpret)
+        return splat_planes(a, v, nc=plan.nc, L=L, inv_step=plan.inv_step,
+                            out_dtype=bf, interpret=plan.interpret)
+
     def body(Q, Q_sub, last=False):
         # spatial message: blur(Q * g_norm), multiply in the blur kernel;
         # self-exclusion + normalization happen inside the fused step kernel
@@ -503,13 +520,9 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
         # kernel; the grid comes out bf16 directly (half-width through the
         # z-blur + slice — the separate astype profiled 0.7 ms/call)
         if plan.stride > 1:
-            G = splat_planes(attrs_sub, Q_sub,
-                             nc=plan.nc, L=L, inv_step=plan.inv_step,
-                             out_dtype=bf, interpret=plan.interpret)
+            G = _splat_q(attrs_sub, Q_sub)
         else:
-            G = splat_planes(attrs, Q, nc=plan.nc, L=L,
-                             inv_step=plan.inv_step,
-                             out_dtype=bf, interpret=plan.interpret)
+            G = _splat_q(attrs, Q)
         G = plan.z_blur(G)
         # fused: color blurs + slice + messages + compatibilities + softmax
         # (+ the next iteration's subsampled splat input — an XLA strided
