@@ -39,6 +39,10 @@ class Ctx:
     # 'concat_projection').  Frozen BatchNorm runs in inference mode and does
     # not update moving stats (Keras >= 2.1.3 semantics).
     frozen: frozenset = frozenset()
+    # BN-recalibration mode (train/bn_calibrate.py): BatchNorm normalizes
+    # with batch statistics and reports them RAW via update_stat (no EMA);
+    # dropout stays off (training=False).
+    bn_calibrate: bool = False
 
     def param(self, layer: str, name: str, shape, init_fn: Callable, dtype=jnp.float32):
         if self.mode == "init":
@@ -98,7 +102,7 @@ def init_model(model_fn: Callable, rng: jax.Array, *example_inputs, **kwargs):
 def apply_model(model_fn: Callable, params: Params, state: State, *inputs,
                 training: bool = False, rng: Optional[jax.Array] = None,
                 frozen: frozenset = frozenset(), compute_dtype=jnp.float32,
-                **kwargs):
+                bn_calibrate: bool = False, **kwargs):
     """Run ``model_fn`` in apply mode. Returns (output, new_state).
 
     ``new_state`` contains updated BN moving stats when ``training=True``
@@ -107,9 +111,10 @@ def apply_model(model_fn: Callable, params: Params, state: State, *inputs,
     f32; activations and conv inputs run bf16).
     """
     ctx = Ctx(mode="apply", params=params, state=state, training=training,
-              rng=rng, frozen=frozen, compute_dtype=compute_dtype)
+              rng=rng, frozen=frozen, compute_dtype=compute_dtype,
+              bn_calibrate=bn_calibrate)
     out = model_fn(ctx, *inputs, **kwargs)
-    if training and ctx.new_state:
+    if (training or bn_calibrate) and ctx.new_state:
         merged = {k: dict(v) for k, v in state.items()}
         for layer, vars_ in ctx.new_state.items():
             merged.setdefault(layer, {}).update(vars_)

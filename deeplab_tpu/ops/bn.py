@@ -24,15 +24,21 @@ def batch_norm(ctx, x, name: str, epsilon: float = 1e-3, momentum: float = 0.99)
     mov_mean = ctx.stat(name, "moving_mean", (c,), 0.0)
     mov_var = ctx.stat(name, "moving_variance", (c,), 1.0)
 
-    if ctx.training and name not in ctx.frozen:
+    if (ctx.training or ctx.bn_calibrate) and name not in ctx.frozen:
         xf = x.astype(jnp.float32)
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(xf, axis=axes)
         var = jnp.var(xf, axis=axes)
-        ctx.update_stat(name, "moving_mean",
-                        mov_mean * momentum + mean * (1.0 - momentum))
-        ctx.update_stat(name, "moving_variance",
-                        mov_var * momentum + var * (1.0 - momentum))
+        if ctx.bn_calibrate:
+            # recalibration pass: report the RAW batch statistics (the
+            # caller averages them over batches; train/bn_calibrate.py)
+            ctx.update_stat(name, "moving_mean", mean)
+            ctx.update_stat(name, "moving_variance", var)
+        else:
+            ctx.update_stat(name, "moving_mean",
+                            mov_mean * momentum + mean * (1.0 - momentum))
+            ctx.update_stat(name, "moving_variance",
+                            mov_var * momentum + var * (1.0 - momentum))
     else:
         mean, var = mov_mean, mov_var
 
