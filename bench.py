@@ -227,7 +227,11 @@ def main():
         from deeplab_tpu.train.optimizer import freeze_set
 
         def bench_train(bs, frozen, label, baseline=TRAIN_BASELINE):
-            tr = Trainer(model, verbose=0, compute_dtype=jnp.bfloat16)
+            from deeplab_tpu.parallel.mesh import get_mesh
+            # pin a 1-device mesh: this file reports img/s/chip, and the
+            # default mesh would silently shard over every visible chip
+            tr = Trainer(model, verbose=0, compute_dtype=jnp.bfloat16,
+                         mesh=get_mesh(jax.devices()[:1]))
             train_jit, _, tx = tr._build_steps(frozen)
             X = jnp.asarray(rng.rand(bs, SZ[0], SZ[1], 3) * 255,
                             jnp.float32)

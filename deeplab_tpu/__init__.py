@@ -14,10 +14,17 @@ Public surface mirrors the reference:
   - ``do_crf``    (reference: utils.py:74)        -> crf.do_crf
 """
 
-from deeplab_tpu.core import init_model, apply_model, Ctx
-from deeplab_tpu.models.deeplabv3p import Deeplabv3
-from deeplab_tpu.models.seg_model import SegModel
-from deeplab_tpu.predictor import Predictor
-from deeplab_tpu import losses, metrics
+import os as _os
+
+if not _os.environ.get("DEEPLAB_TPU_WORKER_IMPORT"):
+    from deeplab_tpu.core import init_model, apply_model, Ctx
+    from deeplab_tpu.models.deeplabv3p import Deeplabv3
+    from deeplab_tpu.models.seg_model import SegModel
+    from deeplab_tpu.predictor import Predictor
+    from deeplab_tpu import losses, metrics
+# else: data-pipeline worker / forkserver-preload mode — keep the package
+# import jax-free (numpy/PIL only).  The host data path
+# (deeplab_tpu.data.generator and its deps) never touches jax; skipping
+# the re-exports here keeps forked workers small and fork-safe.
 
 __version__ = "0.1.0"

@@ -155,14 +155,13 @@ def cmd_predict(args):
     else:
         # default serving path: the whole image -> logits -> CRF pipeline
         # as ONE compiled function (Predictor), full n_classes label space —
-        # predicting N images with different label sets compiles once
+        # predicting N images with different label sets compiles once, and
+        # return_raw yields the before/after-CRF pair from one forward
         from deeplab_tpu.predictor import Predictor
-        predict_plain = Predictor(net, seg.params, seg.state, crf=None,
-                                  compute_dtype=jnp.float32)
-        predict_crf = (Predictor(net, seg.params, seg.state,
-                                 crf=_crf_config(cfg),
-                                 compute_dtype=jnp.float32)
-                       if use_crf else None)
+        predictor = Predictor(net, seg.params, seg.state,
+                              crf=_crf_config(cfg) if use_crf else None,
+                              compute_dtype=jnp.float32,
+                              return_raw=use_crf)
     for path in args.images:
         bgr = resize_bilinear(_imread_bgr(path), (w, h)).astype(np.float32)
         if args.notebook_crf:
@@ -173,9 +172,11 @@ def cmd_predict(args):
                 from deeplab_tpu.crf import do_crf
                 pred = do_crf(bgr, pred.astype(np.int32), zero_unsure=False,
                               cfg=_crf_config(cfg))
+        elif use_crf:
+            raw, refined = predictor(bgr[None])
+            pred_raw, pred = raw[0], refined[0]
         else:
-            pred_raw = predict_plain(bgr[None])[0]
-            pred = predict_crf(bgr[None])[0] if use_crf else pred_raw
+            pred_raw = pred = predictor(bgr[None])[0]
         stem = os.path.join(args.out_dir,
                             os.path.splitext(os.path.basename(path))[0])
         out = stem + "_mask.png"

@@ -505,9 +505,14 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
 
     def _splat_q(a, v):
         if big_grid:
+            # chunk must divide P exactly; odd P (small odd cells from a
+            # small sigma) can't halve — but those planes are tiny, so
+            # the single-chunk kernel fits VMEM anyway
+            P_v = v.shape[-1]
+            chunk = P_v // 2 if P_v % 2 == 0 else P_v
             return splat_planes(a, v, nc=plan.nc, L=L,
                                 inv_step=plan.inv_step,
-                                chunk=v.shape[-1] // 2,
+                                chunk=chunk,
                                 interpret=plan.interpret)
         return splat_planes(a, v, nc=plan.nc, L=L, inv_step=plan.inv_step,
                             out_dtype=bf, interpret=plan.interpret)

@@ -409,8 +409,14 @@ class MultiprocessPrefetcher:
         import multiprocessing as mp
         n = len(self.gen)
         w = max(1, min(self.workers, n))
-        ctx = mp.get_context("forkserver")
+        # DEEPLAB_TPU_WORKER_IMPORT makes `import deeplab_tpu` skip the
+        # jax-importing re-exports (deeplab_tpu/__init__.py): the
+        # forkserver server (which inherits this env at its first start)
+        # preloads the generator module's numpy/PIL graph WITHOUT pulling
+        # jax into the process every worker forks from.
+        os.environ["DEEPLAB_TPU_WORKER_IMPORT"] = "1"
         try:
+            ctx = mp.get_context("forkserver")
             # no-op once the server is running; before that it makes every
             # future worker fork with numpy/PIL (and the module graph the
             # pickled generator needs) already imported
@@ -429,6 +435,9 @@ class MultiprocessPrefetcher:
             p.start()
             queues.append(q)
             procs.append(p)
+        # restore the flag once the server/children exist: it must not
+        # leak into unrelated subprocesses the caller may spawn later
+        os.environ.pop("DEEPLAB_TPU_WORKER_IMPORT", None)
         self._epoch += 1
         try:
             for i in range(n):

@@ -30,11 +30,16 @@ class Predictor:
 
     def __init__(self, net, params, state, crf: Optional[CrfConfig] = None,
                  compute_dtype=jnp.bfloat16, mesh=None,
-                 n_classes: Optional[int] = None, spatial: bool = False):
+                 n_classes: Optional[int] = None, spatial: bool = False,
+                 return_raw: bool = False):
         self.net = net
         self.params = params
         self.state = state
         self.crf = crf
+        # return (raw_preds, crf_preds) from ONE model forward — the
+        # before/after-CRF comparison (notebook cell 9) without paying the
+        # model twice
+        self.return_raw = return_raw and crf is not None
         self.n_classes = n_classes or getattr(net, "n_classes", 21)
         h, w = net.sz
         # pad target for ragged batches (see __call__); the full device
@@ -49,9 +54,12 @@ class Predictor:
                                    compute_dtype=compute_dtype)
 
         def pipeline(params, state, img):
-            preds = model_preds(params, state, img)
+            raw = model_preds(params, state, img)
+            preds = raw
             if crf is not None:
-                preds = mean_field_batched(img, preds, crf, self.n_classes)
+                preds = mean_field_batched(img, raw, crf, self.n_classes)
+            if self.return_raw:
+                return raw, preds
             return preds
 
         if mesh is not None:
@@ -68,7 +76,8 @@ class Predictor:
             self.state = jax.device_put(state, repl)
 
             def sharded_pipeline(params, state, img):
-                preds = model_preds(params, state, img)
+                raw = model_preds(params, state, img)
+                preds = raw
                 if crf is not None:
                     # The CRF is embarrassingly data-parallel and its Pallas
                     # kernels have no SPMD partitioning rule — run it
@@ -87,30 +96,35 @@ class Predictor:
                         lambda im, pr: mean_field_batched(
                             im, pr, crf, self.n_classes),
                         mesh=mesh, in_specs=(spec, spec), out_specs=spec,
-                        check_vma=False)(img, preds)
+                        check_vma=False)(img, raw)
+                if self.return_raw:
+                    return raw, preds
                 return preds
 
+            out_sh = ((out_data, out_data) if self.return_raw else out_data)
             self._fn = jax.jit(sharded_pipeline,
                                in_shardings=(repl, repl, data),
-                               out_shardings=out_data)
+                               out_shardings=out_sh)
         else:
             self._fn = jax.jit(pipeline)
 
-    def __call__(self, images) -> np.ndarray:
+    def __call__(self, images):
         """images: (B, H, W, 3) raw 0-255 BGR float/uint8 -> (B, H, W) int32
-        label maps (CRF-refined when configured).
+        label maps (CRF-refined when configured).  With ``return_raw`` the
+        result is a ``(raw, refined)`` pair of such maps from one forward.
 
         On a mesh, a batch that does not divide the device count is padded
         (by repeating the last image) up to the next multiple and the pad
         rows are dropped from the output — single images and ragged tails
         serve fine instead of tripping a sharding error."""
         img = jnp.asarray(images, jnp.float32)
+        b = img.shape[0]
         if self._mesh_n > 1:
-            pad = (-img.shape[0]) % self._mesh_n
+            pad = (-b) % self._mesh_n
             if pad:
-                b = img.shape[0]
                 img = jnp.concatenate(
                     [img, jnp.repeat(img[-1:], pad, axis=0)], axis=0)
-                return np.asarray(
-                    self._fn(self.params, self.state, img))[:b]
-        return np.asarray(self._fn(self.params, self.state, img))
+        out = self._fn(self.params, self.state, img)
+        if self.return_raw:
+            return np.asarray(out[0])[:b], np.asarray(out[1])[:b]
+        return np.asarray(out)[:b]

@@ -20,7 +20,8 @@ import numpy as np
 from deeplab_tpu import core
 
 
-def calibrate_bn(model, params, state, batches, compute_dtype=None):
+def calibrate_bn(model, params, state, batches, frozen: frozenset =
+                 frozenset(), compute_dtype=None):
     """Return a new ``state`` with BN moving stats averaged over ``batches``.
 
     Args:
@@ -28,10 +29,13 @@ def calibrate_bn(model, params, state, batches, compute_dtype=None):
       params, state: current trees (unchanged; a new state is returned).
       batches: iterable of image arrays (B, H, W, 3), raw 0-255 — e.g.
         ``(X for X, _, _ in generator)`` or a list of arrays.
+      frozen: layers whose BN stats must be left untouched — pass the
+        fine-tune freeze set so frozen pretrained trunk stats are not
+        clobbered with small-dataset batch statistics.
       compute_dtype: forward dtype (default f32).
     """
     fwd = jax.jit(lambda p, s, x: core.apply_model(
-        model.forward, p, s, x, bn_calibrate=True,
+        model.forward, p, s, x, bn_calibrate=True, frozen=frozen,
         compute_dtype=compute_dtype or jnp.float32)[1])
     sums = None
     n = 0

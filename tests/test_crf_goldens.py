@@ -70,3 +70,19 @@ def test_headline_config_matches_oracle(scene, backend):
         CrfConfig(color_step=2.5, splat_stride=4, backend=backend), L))[0]
     agree = np.mean(out == golden)
     assert agree >= 0.98, (name, backend, agree)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_reference_faithful_big_grid_odd_cells(backend):
+    """The reference-faithful default (color_step=1 -> nc~21 'big grid')
+    must run when the cell plane's pixel count P is ODD: the VMEM
+    chunk-splitting fallback (dense_crf._splat_q) may only halve the
+    chunk when it divides P (sxy=15 on a 30x30 image -> 15x15 cells,
+    P=225).  Regression for the round-3 review finding."""
+    name, H, W, L, seed = ("s48_5l", 48, 48, 5, 0)
+    im, mask = make_scene(30, 30, L, seed)
+    cfg = CrfConfig(sxy_bilateral=15.0, backend=backend)
+    out = np.asarray(mean_field_batched(
+        jnp.asarray(im)[None], jnp.asarray(mask)[None], cfg, L))[0]
+    assert out.shape == (30, 30)
+    assert set(np.unique(out)) <= set(range(L))

@@ -3,7 +3,7 @@
 Real VOC is not shipped in this environment, so this drives the exact
 reference workflow (notebook cells 4-9) end-to-end on the committed
 miniature real-photo dataset (tests/data/mini_voc — tiles of real
-photographs with deterministic 5-class color-cluster labels; see
+photographs with deterministic 3-class color-cluster labels; see
 tools/make_mini_voc.py): generator -> trainer -> BN recalibration ->
 Predictor, asserting that fine-tuning from random init clearly improves
 validation Jaccard on real images.  A subtle augmentation/weighting bug

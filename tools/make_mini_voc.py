@@ -13,7 +13,8 @@ Each photo is cut into 128x128 tiles (20 total) laid out exactly like the
 reference's dataset (utils.py:265-266): ``JPEGImages/train/*.jpg`` +
 ``SegmentationClassAug/*.png`` with class ids as palette indices.
 
-Labels are a 5-way color clustering (k-means, fixed seed) fit on ALL tile
+Labels are an N_CLUSTERS-way (3) color clustering (k-means, fixed seed)
+fit on ALL tile
 pixels jointly, then spatially smoothed (Gaussian-blurred one-hot ->
 argmax) so regions have object-like extent a stride-8 segmentation model
 can actually represent.  The task is consistent across images, learnable
