@@ -22,6 +22,21 @@ def make_divisible(v, divisor, min_value=None):
     return new_v
 
 
+def _use_fused_block(ctx, x, stride: int, block_id) -> bool:
+    """Serving fast path: the fused expand->depthwise->project Pallas
+    kernel (kernels/fused_mbconv.py) applies in eval-mode bf16 on TPU for
+    stride-1 blocks with an expand conv.  Init/training/calibration and
+    the f32 parity path keep the XLA composition (identical params)."""
+    import jax.numpy as jnp
+    from deeplab_tpu.kernels import fused_mbconv as FM
+    return (FM.ENABLED and block_id and stride == 1
+            and ctx.mode == "apply" and not ctx.training
+            and not ctx.bn_calibrate
+            and ctx.compute_dtype == jnp.bfloat16
+            and x.shape[1] % 8 == 0
+            and FM.pallas_available())
+
+
 def inverted_res_block(ctx, x, expansion, stride, alpha, filters, block_id,
                        skip_connection, rate=1):
     """Reference _inverted_res_block (deeplabv3p.py:167-206)."""
@@ -29,6 +44,10 @@ def inverted_res_block(ctx, x, expansion, stride, alpha, filters, block_id,
     in_channels = x.shape[-1]
     pointwise_filters = make_divisible(int(filters * alpha), 8)
     prefix = f"expanded_conv_{block_id}_" if block_id else "expanded_conv_"
+
+    if _use_fused_block(ctx, x, stride, block_id):
+        from deeplab_tpu.kernels.fused_mbconv import fused_block_apply
+        return fused_block_apply(ctx, x, prefix, rate, skip_connection)
 
     if block_id:
         x = conv2d(ctx, x, expansion * in_channels, 1, prefix + "expand")
