@@ -123,6 +123,92 @@ def fused_mbconv(x, w1, b1, wdw, bdw, w2, b2, *, rate: int, skip: bool,
     return out.reshape(B, H, W, Cout)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("rate", "pre_relu", "act_mid", "act_out",
+                                    "rows_t", "interpret"))
+def fused_sepconv(x, wdw, bdw, wpw, bpw, *, rate: int, pre_relu: bool,
+                  act_mid: bool, act_out: bool, rows_t: int = 8,
+                  interpret: bool = False):
+    """Fused SepConv_BN forward (reference deeplabv3p.py:47-84, stride 1):
+    [relu] -> 3x3 dilated depthwise (+folded BN) -> [relu] -> pointwise
+    (+folded BN) -> [relu], with the depthwise output living only in VMEM.
+    Same tap machinery as :func:`fused_mbconv` (rolls + aligned bands).
+
+    KEPT AS A MEASURED NEGATIVE RESULT (parity-tested, not wired into
+    ops/conv.py::sep_conv_bn): on-chip A/B at 512x512/bs=16 the Xception
+    model-only rate dropped 685 -> 517 img/s — without an expand stage
+    there is no 6x HBM tensor to save and the roll-based depthwise loses
+    to XLA's (round-2 fused_dw conclusion, reconfirmed at block scope).
+
+    x: (B, H, W, Cin); wdw (16, Cin) f32 folded taps; wpw (Cin, Cout)."""
+    B, H, W, Cin = x.shape
+    Cout = wpw.shape[1]
+    assert H % rows_t == 0, (H, rows_t)
+    nt = H // rows_t
+    P = rows_t * W
+    HP = rate * W
+    n_e = P + 2 * HP
+    xp = x.reshape(B * nt, P, Cin)
+
+    spec = lambda im: pl.BlockSpec((1, P, Cin), im, memory_space=pltpu.VMEM)
+    wspec = lambda shp: pl.BlockSpec(shp, lambda z: (0, 0),
+                                     memory_space=pltpu.VMEM)
+
+    def kern(prev_ref, cur_ref, next_ref, wdw_ref, bdw_ref, wpw_ref,
+             bpw_ref, out_ref):
+        z = pl.program_id(0)
+        t = z % nt
+        top = prev_ref[0, P - HP:, :]
+        bot = next_ref[0, :HP, :]
+        xt = jnp.concatenate([top, cur_ref[0], bot],
+                             axis=0).astype(jnp.float32)
+        if pre_relu:
+            xt = jnp.maximum(xt, 0.0)
+        # 'same' zero padding of the depthwise input at image edges
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_e, 1), 0)
+        edge_ok = (((row >= HP) | (t != 0))
+                   & ((row < HP + P) | (t != nt - 1)))
+        xt = jnp.where(edge_ok, xt, 0.0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_e, 1), 0) % W
+        acc = jnp.zeros((P, Cin), jnp.float32) + bdw_ref[0]
+        for j, dx in enumerate((-rate, 0, rate)):
+            r_ = xt if dx == 0 else pltpu.roll(xt, (n_e - dx) % n_e, 0)
+            if dx > 0:
+                r_ = jnp.where(col < W - dx, r_, 0.0)
+            elif dx < 0:
+                r_ = jnp.where(col >= -dx, r_, 0.0)
+            for i, dy in enumerate((-rate, 0, rate)):
+                off = HP + dy * W
+                acc = acc + r_[off:off + P, :] * wdw_ref[i * 3 + j]
+        if act_mid:
+            acc = jnp.maximum(acc, 0.0)
+        o = jnp.dot(acc.astype(cur_ref.dtype), wpw_ref[...],
+                    preferred_element_type=jnp.float32)
+        o = o + bpw_ref[0]
+        if act_out:
+            o = jnp.maximum(o, 0.0)
+        out_ref[0] = o.astype(out_ref.dtype)
+
+    def idx_c(z): return (z, 0, 0)
+    def idx_p(z): return (jnp.maximum(z - 1, 0), 0, 0)
+    def idx_n(z): return (jnp.minimum(z + 1, B * nt - 1), 0, 0)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(B * nt,),
+        in_specs=[spec(idx_p), spec(idx_c), spec(idx_n),
+                  pl.BlockSpec((16, Cin), lambda z: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  wspec((1, Cin)), wspec((Cin, Cout)), wspec((1, Cout))],
+        out_specs=pl.BlockSpec((1, P, Cout), idx_c, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * nt, P, Cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xp, xp, xp, wdw, bdw, wpw, bpw)
+    return out.reshape(B, H, W, Cout)
+
+
 def _fold_bn(gamma, beta, mean, var, eps):
     # traced (params are jit arguments); same f32 rsqrt as ops/bn.py
     s = (gamma.astype(jnp.float32)
@@ -161,3 +247,33 @@ def fused_block_apply(ctx, x, prefix: str, rate: int, skip: bool,
     return fused_mbconv(x.astype(dt), w1f, t1.reshape(1, -1), wdwf,
                         td.reshape(1, -1), w2f, t2.reshape(1, -1),
                         rate=rate, skip=skip, interpret=interpret)
+
+
+def fused_sepconv_apply(ctx, x, prefix: str, rate: int,
+                        depth_activation: bool, epsilon: float,
+                        interpret: bool = False):
+    """Run one SepConv_BN (stride 1) through the fused kernel, reading the
+    SAME ctx params/stats as ops/conv.py::sep_conv_bn and folding the
+    eval-mode BNs.  Caller guarantees eval mode."""
+    p = ctx.params
+    st = ctx.state
+    wdw = p[prefix + "_depthwise"]["depthwise_kernel"]      # (3, 3, Cin, 1)
+    bnd = p[prefix + "_depthwise_BN"], st[prefix + "_depthwise_BN"]
+    sd, td = _fold_bn(bnd[0]["gamma"], bnd[0]["beta"],
+                      bnd[1]["moving_mean"], bnd[1]["moving_variance"],
+                      epsilon)
+    wpw = p[prefix + "_pointwise"]["kernel"][0, 0]          # (Cin, Cout)
+    bnp = p[prefix + "_pointwise_BN"], st[prefix + "_pointwise_BN"]
+    sp_, tp = _fold_bn(bnp[0]["gamma"], bnp[0]["beta"],
+                       bnp[1]["moving_mean"], bnp[1]["moving_variance"],
+                       epsilon)
+    dt = ctx.compute_dtype
+    Cin = wdw.shape[2]
+    wdwf = (wdw[..., 0].reshape(9, Cin).astype(jnp.float32) * sd)
+    wdwf = jnp.pad(wdwf, ((0, 7), (0, 0)))
+    wpwf = (wpw.astype(jnp.float32) * sp_).astype(dt)
+    return fused_sepconv(x.astype(dt), wdwf, td.reshape(1, -1), wpwf,
+                         tp.reshape(1, -1), rate=rate,
+                         pre_relu=not depth_activation,
+                         act_mid=depth_activation,
+                         act_out=depth_activation, interpret=interpret)

@@ -112,6 +112,16 @@ def sep_conv_bn(ctx, x, filters: int, prefix: str, stride: int = 1,
     [not depth_activation: ReLU first] -> depthwise(rate, stride; manual pad if
     stride>1) -> BN -> [ReLU] -> pointwise 1x1 -> BN -> [ReLU].
     """
+    # NOTE (measured negative result, round 3): a fused SepConv Pallas
+    # kernel exists (kernels/fused_mbconv.py::fused_sepconv, parity-tested)
+    # but is NOT wired in: on-chip A/B at 512x512/bs=16 measured the
+    # Xception model-only rate DROPPING 685 -> 517 img/s with it enabled.
+    # Without an expand stage there is no 6x HBM tensor to save, and the
+    # roll-based depthwise on 728-channel f32 tiles loses to XLA's
+    # depthwise (the same conclusion as round 2's kernels/fused_dw.py).
+    # The inverted-residual fusion (models/mobilenetv2.py) keeps its win
+    # because the expand/project matmuls amortize the tap machinery.
+
     if stride == 1:
         dw_pads, dw_padding = None, "same"
     else:

@@ -56,6 +56,34 @@ def test_fused_mbconv_matches_xla_interpret(rate, skip, Cin, Ce, Cout, H, W):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("rate,depth_act", [(1, False), (2, True),
+                                            (4, False)])
+def test_fused_sepconv_apply_matches_xla_interpret(rate, depth_act):
+    """ctx-level fused SepConv vs the reference sep_conv_bn on the SAME
+    params (BN folding + activation placement), eval mode."""
+    from deeplab_tpu import core
+    from deeplab_tpu.ops.conv import sep_conv_bn
+
+    fwd = functools.partial(sep_conv_bn, filters=24, prefix="sc", stride=1,
+                            rate=rate, depth_activation=depth_act)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 16, 24, 16).astype(np.float32) * 2 - 1)
+    params, state = core.init_model(lambda ctx, v: fwd(ctx, v),
+                                    jax.random.key(0), x)
+    for lname, vars_ in state.items():
+        for vn in vars_:
+            vars_[vn] = jnp.asarray(
+                rng.rand(*vars_[vn].shape).astype(np.float32) * 0.5 + 0.75)
+    ref, _ = core.apply_model(lambda ctx, v: fwd(ctx, v), params, state, x)
+
+    ctx = core.Ctx(mode="apply", params=params, state=state)
+    got = FM.fused_sepconv_apply(ctx, x, "sc", rate=rate,
+                                 depth_activation=depth_act, epsilon=1e-3,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fused_block_apply_matches_xla_block_interpret(monkeypatch):
     """ctx-level wrapper vs the XLA inverted_res_block on the SAME params
     (BN folding correctness), eval mode, dilated block."""
