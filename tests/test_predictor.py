@@ -104,3 +104,28 @@ def test_predictor_ragged_batch_on_mesh():
     np.testing.assert_array_equal(sharded(imgs), plain(imgs))
     single = sharded(imgs[:1])              # B=1 serving
     np.testing.assert_array_equal(single, plain(imgs[:1]))
+
+
+def test_predictor_return_raw_single_forward():
+    """return_raw yields the (raw, refined) pair matching the two separate
+    predictors, on both the single-device and mesh paths (incl. ragged
+    batches), from one compiled pipeline."""
+    from deeplab_tpu.crf import CrfConfig
+    net, params, state = _net_and_weights()
+    cfg = CrfConfig(sxy_bilateral=16.0, n_iters=2, backend="xla")
+    plain = Predictor(net, params, state, crf=None)
+    refined = Predictor(net, params, state, crf=cfg)
+    both = Predictor(net, params, state, crf=cfg, return_raw=True)
+    imgs = np.random.RandomState(9).rand(3, SZ, SZ, 3) * 255
+    raw, ref = both(imgs)
+    np.testing.assert_array_equal(raw, plain(imgs))
+    np.testing.assert_array_equal(ref, refined(imgs))
+    # mesh path, ragged batch (3 images on 8 devices)
+    both_m = Predictor(net, params, state, crf=cfg, return_raw=True,
+                       mesh=get_mesh(jax.devices()[:8]))
+    raw_m, ref_m = both_m(imgs)
+    np.testing.assert_array_equal(raw_m, raw)
+    np.testing.assert_array_equal(ref_m, ref)
+    # without a CRF, return_raw degrades to the plain single output
+    assert Predictor(net, params, state, crf=None,
+                     return_raw=True)(imgs).shape == raw.shape
