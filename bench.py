@@ -99,14 +99,23 @@ def emit(name, value, unit, vs_baseline, **extra):
     print(json.dumps(rec))
 
 
-def util_fields(flops, nbytes, seconds):
+def util_fields(flops, nbytes, seconds, has_pallas: bool = False):
+    """XLA cost analysis does not see inside Pallas custom calls, so for
+    graphs containing them (the fused-block serving path) the flops/bytes
+    are lower bounds — flag rather than report a bogus MFU."""
     out = {}
     if flops:
         out["gflops_per_call"] = round(flops / 1e9, 1)
-        out["mfu_pct"] = round(100.0 * flops / seconds / PEAK_BF16, 1)
+        if has_pallas:
+            out["flops_note"] = ("XLA-visible portion only; Pallas "
+                                 "custom-call kernels excluded")
+        else:
+            out["mfu_pct"] = round(100.0 * flops / seconds / PEAK_BF16, 1)
     if nbytes:
         out["hbm_gb_per_call"] = round(nbytes / 1e9, 2)
-        out["hbm_util_pct"] = round(100.0 * nbytes / seconds / PEAK_HBM, 1)
+        if not has_pallas:
+            out["hbm_util_pct"] = round(
+                100.0 * nbytes / seconds / PEAK_HBM, 1)
     return out
 
 
@@ -189,9 +198,11 @@ def main():
     if "model" in STAGES:
         dt = timeit(lambda: model_only(params, state, img), checksum)
         fl, by = cost(model_only, params, state, img)
+        from deeplab_tpu.kernels.fused_mbconv import pallas_available
+        fused = pallas_available() and BACKBONE == "mobilenetv2"
         emit(tag("512x512 VOC inference (model only) images/sec/chip"),
              BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP,
-             **util_fields(fl, by, dt))
+             **util_fields(fl, by, dt, has_pallas=fused))
 
     preds0 = model_only(params, state, img)
 
