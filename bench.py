@@ -16,8 +16,9 @@ is ALWAYS the last line):
     Both CRF stages report MAP agreement with the committed exact-oracle
     goldens (tests/goldens/crf).
   - B=1 serving latency (model + CRF, single image)
-  - training, full network bf16 (bs=64) and frozen fine-tune bf16 (bs=32,
-    freeze before 'concat_projection' — notebook cell 5)
+  - training, full network bf16 (bs=96; uses the fused train kernels on
+    TPU) and frozen fine-tune bf16 (bs=32, freeze before
+    'concat_projection' — notebook cell 5)
   - Xception backbone model+CRF (bs=16)
   - HEADLINE: model+CRF at BATCH
 
@@ -239,6 +240,13 @@ def main():
 
         def bench_train(bs, frozen, label, baseline=TRAIN_BASELINE):
             from deeplab_tpu.parallel.mesh import get_mesh
+            from deeplab_tpu.kernels import fused_mbconv_train as FMT
+            from deeplab_tpu.kernels.fused_mbconv import pallas_available
+            # unfrozen bf16 single-chip runs use the fused train kernels,
+            # whose FLOPs/bytes XLA cost analysis cannot see
+            has_pallas = (FMT.ENABLED and not frozen
+                          and BACKBONE == "mobilenetv2"
+                          and pallas_available())
             # pin a 1-device mesh: this file reports img/s/chip, and the
             # default mesh would silently shard over every visible chip
             tr = Trainer(model, verbose=0, compute_dtype=jnp.bfloat16,
@@ -264,10 +272,11 @@ def main():
 
             dt = timeit(step, lambda x: x, iters=10)
             emit(tag(label), bs / dt, "img/s/chip", (bs / dt) / baseline,
-                 batch=bs, **util_fields(fl, by, dt))
+                 batch=bs, **util_fields(fl, by, dt, has_pallas=has_pallas))
 
         if "train" in STAGES:
-            bench_train(64, frozenset(),
+            # bs=96 beats 64 for the (fused) train step, unlike inference
+            bench_train(96, frozenset(),
                         "512x512 VOC train step (full network, bf16) "
                         "images/sec/chip")
         if "finetune" in STAGES:

@@ -24,9 +24,13 @@ def make_divisible(v, divisor, min_value=None):
 
 def _use_fused_block(ctx, x, stride: int, block_id) -> bool:
     """Serving fast path: the fused expand->depthwise->project Pallas
-    kernel (kernels/fused_mbconv.py) applies in eval-mode bf16 on TPU for
-    stride-1 blocks with an expand conv.  Init/training/calibration and
-    the f32 parity path keep the XLA composition (identical params)."""
+    kernel (kernels/fused_mbconv.py) applies in eval-mode bf16 on a
+    single TPU chip for stride-1 blocks with an expand conv.
+    Init/training/calibration and the f32 parity path keep the XLA
+    composition (identical params); so do multi-chip runs — Pallas
+    custom calls have no SPMD partitioning rule, so a sharded jit
+    could not partition them."""
+    import jax
     import jax.numpy as jnp
     from deeplab_tpu.kernels import fused_mbconv as FM
     return (FM.ENABLED and block_id and stride == 1
@@ -34,6 +38,7 @@ def _use_fused_block(ctx, x, stride: int, block_id) -> bool:
             and not ctx.bn_calibrate
             and ctx.compute_dtype == jnp.bfloat16
             and x.shape[1] % 8 == 0
+            and len(jax.devices()) == 1
             and FM.pallas_available())
 
 
@@ -48,6 +53,14 @@ def inverted_res_block(ctx, x, expansion, stride, alpha, filters, block_id,
     if _use_fused_block(ctx, x, stride, block_id):
         from deeplab_tpu.kernels.fused_mbconv import fused_block_apply
         return fused_block_apply(ctx, x, prefix, rate, skip_connection)
+
+    from deeplab_tpu.kernels import fused_mbconv_train as FMT
+    if FMT.use_fused_train_block(ctx, x, stride, block_id, prefix):
+        # Training fast path: recompute-based multi-phase kernels that keep
+        # the 6x-expanded activations out of HBM (fwd AND custom backward).
+        return FMT.fused_train_block_apply(ctx, x, prefix, rate,
+                                           skip_connection,
+                                           interpret=FMT.INTERPRET)
 
     if block_id:
         x = conv2d(ctx, x, expansion * in_channels, 1, prefix + "expand")
