@@ -38,6 +38,16 @@ standard full training-mode formula (through the batch mean/var), so grads
 match the XLA path to bf16 tolerance; in f32 (tests / interpret mode) they
 match tightly.  Batch variance is the biased E[x^2]-E[x]^2 form, matching
 jnp.var in ops/bn.py:31 (stats are sequential per-tile f32 accumulations).
+f32 dots run at Precision.HIGHEST (see _prec) — DEFAULT bf16-rounds f32
+matmul operands on both the MXU and the CPU backend.  Caveat measured on
+real TPUs: f32 cross-implementation grad comparisons are ill-conditioned
+there regardless — relu6' masks have pre-activation margins down to
+~1e-5, and even HIGHEST MXU passes carry enough rounding (which shifts
+with XLA's compile-cache-dependent tilings) to flip isolated masks,
+producing rare O(1) per-pixel grad differences between ANY two f32
+implementations (TPU-XLA vs CPU-XLA differs the same way).  Exact parity
+is therefore asserted on CPU (interpret mode); on-chip validation uses
+structured probes and the bf16 production contract instead.
 
 Semantics mirror reference _inverted_res_block (deeplabv3p.py:167-206) in
 Keras training mode: expand 1x1 (no bias) -> BN(eps 1e-3) -> relu6 ->
@@ -151,6 +161,15 @@ def _make_q(dt):
     return lambda v: v
 
 
+def _prec(dt):
+    """f32 dots run at HIGHEST precision — DEFAULT bf16-rounds f32 matmul
+    operands (on TPU MXU and on the CPU interpret backend alike), which
+    silently broke the f32 parity contract this kernel shares with
+    ops/conv.py:30.  bf16 operands are MXU-native; DEFAULT is exact."""
+    return (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _ext3(prev_ref, cur_ref, nxt_ref, P: int, lo: int):
     """(P + 2*lo, C) extended row tile from the three planes."""
     top = prev_ref[0, P - lo:, :]
@@ -166,7 +185,8 @@ def _expand_act(xt, w1_ref, a1_ref, c1_ref, *, q, dt, t, nt, P, lo):
     the relu6' mask); all (L, ch) f32 holding dt-rounded values."""
     L = xt.shape[0]
     e = jnp.dot(xt.astype(dt), w1_ref[...],
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_prec(dt))
     eq = q(e)
     v1 = q(q(eq * a1_ref[0]) + c1_ref[0])  # rounded like ops/bn.py's affine
     a = jnp.clip(v1, 0.0, 6.0)
@@ -219,7 +239,8 @@ def _run_f1(xp, w1, *, dt, nch, interpret):
     def mbt_f1(xc_ref, w1_ref, s_ref, ss_ref):
         z = pl.program_id(1)
         e = jnp.dot(xc_ref[0].astype(dt), w1_ref[...],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                precision=_prec(dt))
         eq = q(e)
 
         @pl.when(z == 0)
@@ -308,7 +329,8 @@ def _run_f3(dqs, a2, c2, w2, *, dt, nch, interpret):
         v2 = q(q(dq * a2_ref[0]) + c2_ref[0])
         b = jnp.clip(v2, 0.0, 6.0)
         part = jnp.dot(b.astype(dt), w2_ref[...],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                precision=_prec(dt))
 
         @pl.when(c == 0)
         def _():
@@ -358,11 +380,13 @@ def _run_b2(dqs, gp, yp, a2, c2, mu2, rstd2, w2t, gA3, k0, k1,
         yq = y_ref[0].astype(jnp.float32)
         gy = gA3_ref[0] * gf + k0_ref[0] + k1_ref[0] * yq      # (P, Cout)
         ddh = jnp.dot(gy.astype(dt), w2t_ref[...],
-                      preferred_element_type=jnp.float32) * mask2
+                      preferred_element_type=jnp.float32,
+                precision=_prec(dt)) * mask2
         b = jnp.clip(v2, 0.0, 6.0)
         dw2c = jax.lax.dot_general(
             b.astype(dt), gy.astype(dt), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (ch, Cout)
+            preferred_element_type=jnp.float32,
+                precision=_prec(dt))                # (ch, Cout)
 
         @pl.when(z == 0)
         def _():
@@ -442,7 +466,8 @@ def _run_b34(xp, dqs, gp, yp, w1, a1, c1, wdw, a2, c2, mu2, rstd2, w2t,
         mask2 = ((v2 > 0.0) & (v2 < 6.0)).astype(jnp.float32)
         gy = gA3_ref[0] * g3 + k0_ref[0] + k1_ref[0] * y3       # (m, Cout)
         ddh = jnp.dot(gy.astype(dt), w2t_ref[...],
-                      preferred_element_type=jnp.float32) * mask2
+                      preferred_element_type=jnp.float32,
+                precision=_prec(dt)) * mask2
         dd = a2_ref[0] * ddh + m0_ref[0] + m1_ref[0] * dq3
         # out-of-image rows of dd contribute nothing to da/dWdw
         rowm = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
@@ -480,11 +505,13 @@ def _run_b34(xp, dqs, gp, yp, w1, a1, c1, wdw, a2, c2, mu2, rstd2, w2t,
         u2_ref[...] += jnp.sum(dv1 * ehat, axis=0, keepdims=True)
         dvl = a1_ref[0] * dv1                                   # (P, ch)
         dxp_ref[0] = jnp.dot(dvl.astype(dt), w1t_ref[...],
-                             preferred_element_type=jnp.float32
+                             preferred_element_type=jnp.float32,
+                precision=_prec(dt)
                              ).astype(dxp_ref.dtype)
         dw1t_ref[...] += jax.lax.dot_general(
             dvl.astype(dt), xc_ref[0].astype(dt), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # (ch, Cin)
+            preferred_element_type=jnp.float32,
+                precision=_prec(dt))                 # (ch, Cin)
 
     pln = _plane_specs(ZT, P, Cin, True)
 
@@ -652,16 +679,20 @@ def _bwd_impl(rate, skip, rows_t, interpret, eps, res, cts):
     #   dx   += broadcast(l0 @ w1^T) + x @ ((w1*l1) @ w1^T)
     #   dW1  += colsum(x) (x) l0     + (x^T x) @ (w1*l1)
     dx = jnp.sum(dxp.reshape(nch, ZT, P, Cin).astype(jnp.float32), axis=0)
+    prec = _prec(dt)
     w1f = w1d.astype(jnp.float32)
     xf = xp.astype(jnp.float32)
-    dx = dx + l0 @ w1f.T + xf @ ((w1f * l1) @ w1f.T)
+    M = jnp.matmul(w1f * l1, w1f.T, precision=prec)
+    dx = (dx + jnp.matmul(l0[None], w1f.T, precision=prec)[0]
+          + jnp.matmul(xf, M, precision=prec))
     if skip:
         dx = dx + gf
     dx = dx.astype(dt).reshape(B, H, W, Cin)
     x2 = xf.reshape(ZT * P, Cin)
     dw1 = (jnp.swapaxes(dw1t, 0, 1)
            + jnp.outer(jnp.sum(x2, axis=0), l0)
-           + (x2.T @ x2) @ (w1f * l1))
+           + jnp.matmul(jnp.matmul(x2.T, x2, precision=prec), w1f * l1,
+                        precision=prec))
     return (dx, dw1, dg1, db1, dwdw, dg2, db2, dw2, dg3, db3)
 
 

@@ -7,7 +7,10 @@ values, batch statistics, and ALL gradients (dx, conv weights, BN
 gamma/beta).  f32 checks are tight (same math, different schedule); bf16
 checks are loose (quantization points match the XLA path but product
 roundings differ).  On-chip Mosaic behavior is validated on the real TPU
-by the bench/training paths — interpret mode pins the math.
+by the bench/training paths — interpret mode pins the math.  These f32
+comparisons are only meaningful on CPU: on TPU even two XLA f32 builds
+of this block disagree at isolated pixels (relu6' mask margins down to
+~1e-5 vs MXU rounding — see the kernel module docstring).
 
 Reference block semantics: deeplabv3p.py:167-206 in Keras training mode.
 """
@@ -29,8 +32,12 @@ EPS = 1e-3
 
 def _xla_block(x, w1, g1, b1, wdw9, g2, b2, w2, g3, b3, *, rate, skip):
     """ops/bn.py-faithful training-mode composition (batch stats, dtype
-    rounding at conv outputs and BN affines)."""
+    rounding at conv outputs and BN affines).  f32 runs at HIGHEST
+    precision like ops/conv.py:30 — DEFAULT bf16-rounds f32 matmul
+    operands on both TPU and the CPU backend, which would make this
+    'reference' as fuzzy as an unpinned kernel."""
     dt = x.dtype
+    prec = FMT._prec(dt)
 
     def bn(v, gamma, beta):
         vf = v.astype(jnp.float32)
@@ -44,16 +51,19 @@ def _xla_block(x, w1, g1, b1, wdw9, g2, b2, w2, g3, b3, *, rate, skip):
         return jnp.minimum(jax.nn.relu(v), jnp.asarray(6.0, v.dtype))
 
     Ce = w1.shape[1]
-    e = jax.lax.dot_general(x, w1.astype(dt), (((3,), (0,)), ((), ())))
+    e = jax.lax.dot_general(x, w1.astype(dt), (((3,), (0,)), ((), ())),
+                            precision=prec)
     e, mu1, var1 = bn(e, g1, b1)
     e = relu6(e)
     dwk = wdw9.reshape(3, 3, Ce)[:, :, None, :].astype(dt)
     d = jax.lax.conv_general_dilated(
         e, dwk, (1, 1), "SAME", rhs_dilation=(rate, rate),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=Ce)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=Ce,
+        precision=prec)
     d, mu2, var2 = bn(d, g2, b2)
     d = relu6(d)
-    y = jax.lax.dot_general(d, w2.astype(dt), (((3,), (0,)), ((), ())))
+    y = jax.lax.dot_general(d, w2.astype(dt), (((3,), (0,)), ((), ())),
+                            precision=prec)
     y, mu3, var3 = bn(y, g3, b3)
     out = x + y if skip else y
     return out, (mu1, var1, mu2, var2, mu3, var3)
@@ -81,6 +91,8 @@ CASES = [
     (1, True, 8, 48, 8, 16, 16),
     (2, True, 8, 48, 8, 16, 24),     # dilated + non-square
     (4, False, 16, 96, 24, 8, 16),   # rate 4, channel change
+    (1, True, 8, 48, 8, 32, 16),     # nt=4: interior tiles with BOTH real
+                                     # halos (caught a precision bug once)
 ]
 
 
