@@ -474,8 +474,6 @@ def _run_b34(xp, dqs, gp, yp, w1, a1, c1, wdw, a2, c2, mu2, rstd2, w2t,
         okm = ((rowm >= HP) | (t != 0)) & ((rowm < HP + P) | (t != nt - 1))
         dd = jnp.where(okm, dd, 0.0)
         colm = rowm % W
-        col2 = jax.lax.broadcasted_iota(jnp.int32, (L2, 1), 0) % W
-        ddc = dd[HP:HP + P, :]
 
         @pl.when(z == 0)
         def _():
@@ -486,15 +484,20 @@ def _run_b34(xp, dqs, gp, yp, w1, a1, c1, wdw, a2, c2, mu2, rstd2, w2t,
 
         # da[p] = sum_taps w[dy,dx] * dd[HP + p - dy*W - dx]  (transpose),
         # dWdw[dy,dx] = sum_p dd[HP+p] * aq[2HP + p + dy*W + dx]
+        #            = sum_p dd[HP+p-dx] * aq[2HP + p + dy*W]
+        # (the column shift rides the SAME sd used for da: shifting the
+        # per-tile summation window by dx is absorbed across the tile sum
+        # — the traded boundary terms are zero via okm / the out-of-image
+        # aq mask — so aq needs no shifted copies of its (L2, ch) array)
         da = jnp.zeros((P, ch), jnp.float32)
         for j, dx_ in enumerate((-rate, 0, rate)):
             sd = _shift_cols(dd, -dx_, colm, W)
-            sa = _shift_cols(aq, dx_, col2, W)
+            sdc = sd[HP:HP + P, :]
             for i, dy in enumerate((-rate, 0, rate)):
                 da = da + sd[HP - dy * W:HP - dy * W + P, :] * wdw_ref[i * 3 + j]
                 off = lo2 + dy * W
                 dwdw_ref[i * 3 + j:i * 3 + j + 1, :] += jnp.sum(
-                    ddc * sa[off:off + P, :], axis=0, keepdims=True)
+                    sdc * aq[off:off + P, :], axis=0, keepdims=True)
 
         v1c = v1[lo2:lo2 + P, :]
         mask1 = ((v1c > 0.0) & (v1c < 6.0)).astype(jnp.float32)

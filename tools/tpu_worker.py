@@ -1,14 +1,20 @@
 """Persistent TPU REPL worker: amortizes the ~2-min axon client init.
 
 Watches /tmp/tpuq/ for NNN.py files, execs each in a shared namespace,
-appends output to /tmp/tpuq/NNN.out (with EXIT marker).  Dev tool only.
+appends output to /tmp/tpuq/NNN.out (with EXIT marker).  Job-created
+globals are dropped after each job — device arrays kept alive by the
+shared namespace otherwise accumulate until the chip's HBM is exhausted
+(imported modules persist, so the amortization is preserved).  Dev tool
+only.
 """
+import gc
 import io
 import contextlib
 import glob
 import os
 import time
 import traceback
+import types
 
 QDIR = "/tmp/tpuq"
 os.makedirs(QDIR, exist_ok=True)
@@ -40,4 +46,9 @@ while True:
         with open(out_path, "w") as f:
             f.write(buf.getvalue())
             f.write(f"\n== {status} in {time.time() - t0:.2f}s ==\n")
+        for k in [k for k, v in ns.items()
+                  if k not in ("jax", "jnp", "np", "time")
+                  and not isinstance(v, types.ModuleType)]:
+            del ns[k]
+        gc.collect()
     time.sleep(0.5)
