@@ -43,6 +43,12 @@ class Ctx:
     # with batch statistics and reports them RAW via update_stat (no EMA);
     # dropout stays off (training=False).
     bn_calibrate: bool = False
+    # True when this apply executes PER DEVICE inside a shard_map program
+    # (e.g. Predictor's data-parallel serving).  Pallas custom calls have
+    # no SPMD partitioning rule, so the fused-kernel gates normally demand
+    # a single global device; inside shard_map each program owns exactly
+    # one device, so the gates accept shard_local as the equivalent.
+    shard_local: bool = False
 
     def param(self, layer: str, name: str, shape, init_fn: Callable, dtype=jnp.float32):
         if self.mode == "init":
@@ -102,7 +108,8 @@ def init_model(model_fn: Callable, rng: jax.Array, *example_inputs, **kwargs):
 def apply_model(model_fn: Callable, params: Params, state: State, *inputs,
                 training: bool = False, rng: Optional[jax.Array] = None,
                 frozen: frozenset = frozenset(), compute_dtype=jnp.float32,
-                bn_calibrate: bool = False, **kwargs):
+                bn_calibrate: bool = False, shard_local: bool = False,
+                **kwargs):
     """Run ``model_fn`` in apply mode. Returns (output, new_state).
 
     ``new_state`` contains updated BN moving stats when ``training=True``
@@ -112,7 +119,7 @@ def apply_model(model_fn: Callable, params: Params, state: State, *inputs,
     """
     ctx = Ctx(mode="apply", params=params, state=state, training=training,
               rng=rng, frozen=frozen, compute_dtype=compute_dtype,
-              bn_calibrate=bn_calibrate)
+              bn_calibrate=bn_calibrate, shard_local=shard_local)
     out = model_fn(ctx, *inputs, **kwargs)
     if (training or bn_calibrate) and ctx.new_state:
         merged = {k: dict(v) for k, v in state.items()}

@@ -42,6 +42,8 @@ def pallas_available() -> bool:
 
 # opt-out knob for A/B runs: deeplab_tpu.kernels.fused_mbconv.ENABLED = False
 ENABLED = True
+# test hook: run the Pallas kernels in interpret mode (CPU), see tests/
+INTERPRET = False
 
 
 @functools.partial(jax.jit,

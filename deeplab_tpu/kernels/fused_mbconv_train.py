@@ -796,16 +796,19 @@ def fused_train_block_apply(ctx, x, prefix: str, rate: int, skip: bool,
 
 def use_fused_train_block(ctx, x, stride: int, block_id, prefix: str) -> bool:
     """Training fast path: stride-1 blocks with an expand conv, bf16,
-    un-frozen, on a SINGLE TPU chip.  Init/calibration/f32-parity keep
-    XLA; so do multi-chip runs — Pallas custom calls have no SPMD
-    partitioning rule, and the phase kernels compute global batch stats
-    that a sharded jit would need collectives for."""
+    un-frozen, on a single device.  Init/calibration/f32-parity keep
+    XLA.  Multi-chip: a sharded jit cannot partition the Pallas custom
+    calls (no SPMD rule), so either the run owns ONE global device, or
+    the caller executes per-device inside shard_map (Trainer(ddp=True))
+    and sets ctx.shard_local — the phase kernels then compute batch
+    statistics over the LOCAL shard (torch-DDP BatchNorm semantics; the
+    ddp step pmeans the moving-stat updates across devices)."""
     if not (ENABLED and block_id and stride == 1
             and ctx.mode == "apply" and ctx.training
             and not ctx.bn_calibrate
             and ctx.compute_dtype == jnp.bfloat16
             and x.shape[1] % 8 == 0
-            and len(jax.devices()) == 1
+            and (ctx.shard_local or len(jax.devices()) == 1)
             and pallas_available()):
         return False
     layers = (prefix + "expand", prefix + "expand_BN", prefix + "depthwise",

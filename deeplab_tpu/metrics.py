@@ -26,11 +26,19 @@ def accuracy_from_ids(labels, pred, nb_classes: int):
     """Masked pixel accuracy from flat label/prediction id arrays (the
     post-argmax core of :func:`sparse_accuracy_ignoring_last_label` —
     lets callers that already hold hard predictions skip the probs)."""
+    correct, legal = accuracy_sums_from_ids(labels, pred, nb_classes)
+    return correct / jnp.maximum(legal, 1.0)
+
+
+def accuracy_sums_from_ids(labels, pred, nb_classes: int):
+    """(correct_count, legal_count) partial sums of the masked accuracy.
+    Sums over disjoint batch shards add exactly, so a data-parallel step
+    can psum these across devices and recover the global accuracy."""
     labels = labels.reshape(-1).astype(jnp.int32)
     pred = pred.reshape(-1).astype(jnp.int32)
     legal = labels != nb_classes
     correct = jnp.sum((legal & (labels == pred)).astype(jnp.float32))
-    return correct / jnp.maximum(jnp.sum(legal.astype(jnp.float32)), 1.0)
+    return correct, jnp.sum(legal.astype(jnp.float32))
 
 
 def Jaccard(y_true, y_pred):
@@ -43,6 +51,17 @@ def Jaccard(y_true, y_pred):
 
 def jaccard_from_ids(labels, pred, nb_classes: int):
     """Mean IoU from per-pixel id maps; labels/pred: (B, N) ints."""
+    iou_sum, n_legal = jaccard_sums_from_ids(labels, pred, nb_classes)
+    return jaccard_from_sums(iou_sum, n_legal)
+
+
+def jaccard_sums_from_ids(labels, pred, nb_classes: int):
+    """Per-class (iou_sum, legal_count) partial sums of the Jaccard.
+
+    Both are sums over batch ITEMS (each item's IoU is intra-item), so the
+    legal-batch semantics survive batch sharding exactly: a data-parallel
+    step psums the pair across devices and finishes with
+    :func:`jaccard_from_sums` to recover the global-batch metric."""
     labels = labels.astype(jnp.int32)
     pred = pred.astype(jnp.int32)
     class_ids = jnp.arange(nb_classes)
@@ -55,8 +74,13 @@ def jaccard_from_ids(labels, pred, nb_classes: int):
 
     ious = inter / jnp.maximum(union, 1.0)
     n_legal = jnp.sum(legal.astype(jnp.float32), axis=0)   # (C,)
-    class_iou = jnp.sum(jnp.where(legal, ious, 0.0), axis=0) / jnp.maximum(
-        n_legal, 1.0)
+    return jnp.sum(jnp.where(legal, ious, 0.0), axis=0), n_legal
+
+
+def jaccard_from_sums(iou_sum, n_legal):
+    """Finish a (possibly psum-reduced) :func:`jaccard_sums_from_ids` pair:
+    average per-class over legal items, NaN-drop classes in no item."""
+    class_iou = iou_sum / jnp.maximum(n_legal, 1.0)
     valid = n_legal > 0
     return jnp.sum(jnp.where(valid, class_iou, 0.0)) / jnp.maximum(
         jnp.sum(valid.astype(jnp.float32)), 1.0)

@@ -27,9 +27,11 @@ def _use_fused_block(ctx, x, stride: int, block_id) -> bool:
     kernel (kernels/fused_mbconv.py) applies in eval-mode bf16 on a
     single TPU chip for stride-1 blocks with an expand conv.
     Init/training/calibration and the f32 parity path keep the XLA
-    composition (identical params); so do multi-chip runs — Pallas
-    custom calls have no SPMD partitioning rule, so a sharded jit
-    could not partition them."""
+    composition (identical params).  Multi-chip: Pallas custom calls have
+    no SPMD partitioning rule, so a sharded jit could not partition them —
+    but a shard_map program owns exactly one device, so callers that run
+    the forward per-device (Predictor's data-parallel serving) set
+    ctx.shard_local and the fused path engages there too."""
     import jax
     import jax.numpy as jnp
     from deeplab_tpu.kernels import fused_mbconv as FM
@@ -38,7 +40,7 @@ def _use_fused_block(ctx, x, stride: int, block_id) -> bool:
             and not ctx.bn_calibrate
             and ctx.compute_dtype == jnp.bfloat16
             and x.shape[1] % 8 == 0
-            and len(jax.devices()) == 1
+            and (ctx.shard_local or len(jax.devices()) == 1)
             and FM.pallas_available())
 
 
@@ -51,8 +53,9 @@ def inverted_res_block(ctx, x, expansion, stride, alpha, filters, block_id,
     prefix = f"expanded_conv_{block_id}_" if block_id else "expanded_conv_"
 
     if _use_fused_block(ctx, x, stride, block_id):
-        from deeplab_tpu.kernels.fused_mbconv import fused_block_apply
-        return fused_block_apply(ctx, x, prefix, rate, skip_connection)
+        from deeplab_tpu.kernels import fused_mbconv as FM
+        return FM.fused_block_apply(ctx, x, prefix, rate, skip_connection,
+                                    interpret=FM.INTERPRET)
 
     from deeplab_tpu.kernels import fused_mbconv_train as FMT
     if FMT.use_fused_train_block(ctx, x, stride, block_id, prefix):

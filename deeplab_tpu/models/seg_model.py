@@ -78,14 +78,16 @@ class SegNet:
         return params, state
 
     def apply(self, params, state, img, training: bool = False, rng=None,
-              frozen: frozenset = frozenset(), compute_dtype=None):
+              frozen: frozenset = frozenset(), compute_dtype=None,
+              shard_local: bool = False):
         return core.apply_model(self.forward, params, state, img,
                                 training=training, rng=rng, frozen=frozen,
-                                compute_dtype=compute_dtype or jnp.float32)
+                                compute_dtype=compute_dtype or jnp.float32,
+                                shard_local=shard_local)
 
     def apply_logits(self, params, state, img, training: bool = False,
                      rng=None, frozen: frozenset = frozenset(),
-                     compute_dtype=None):
+                     compute_dtype=None, shard_local: bool = False):
         """(B, H, W, n) head LOGITS in compute dtype — the Trainer's fused
         training path.  Skipping the flatten + f32 softmax over every pixel
         avoids two full-resolution relayout/materialization passes that
@@ -96,17 +98,22 @@ class SegNet:
                                            flatten=False)
         return core.apply_model(fn, params, state, img, training=training,
                                 rng=rng, frozen=frozen,
-                                compute_dtype=compute_dtype or jnp.float32)
+                                compute_dtype=compute_dtype or jnp.float32,
+                                shard_local=shard_local)
 
-    def predict_ids(self, params, state, img, compute_dtype=None):
+    def predict_ids(self, params, state, img, compute_dtype=None,
+                    shard_local: bool = False):
         """Hard (B, H, W) label map for serving: argmax of the head LOGITS.
         Softmax is per-pixel monotone, so this equals argmax of ``apply``'s
         probabilities while skipping the softmax + f32 upcast over all
-        H*W*n activations (the serving paths only consume the argmax)."""
+        H*W*n activations (the serving paths only consume the argmax).
+        ``shard_local`` marks a per-device shard_map execution so the fused
+        Pallas serving kernels engage on multi-chip meshes (core.Ctx)."""
         fn = lambda ctx, im: self._forward(ctx, im, softmax=False)
         logits, _ = core.apply_model(fn, params, state, img,
                                      compute_dtype=compute_dtype
-                                     or jnp.float32)
+                                     or jnp.float32,
+                                     shard_local=shard_local)
         b = img.shape[0]
         return jnp.argmax(
             logits.reshape((b,) + self.sz + (self.n_classes,)), axis=-1)

@@ -46,12 +46,13 @@ class Predictor:
         # count satisfies both the P('data') and P(('data','space')) specs
         self._mesh_n = mesh.devices.size if mesh is not None else 1
 
-        def model_preds(params, state, img):
+        def model_preds(params, state, img, shard_local=False):
             # argmax of the head logits — equals argmax of apply()'s
             # softmax output while skipping the softmax + f32 upcast over
             # every pixel (SegNet.predict_ids)
             return net.predict_ids(params, state, img,
-                                   compute_dtype=compute_dtype)
+                                   compute_dtype=compute_dtype,
+                                   shard_local=shard_local)
 
         def pipeline(params, state, img):
             raw = model_preds(params, state, img)
@@ -76,7 +77,24 @@ class Predictor:
             self.state = jax.device_put(state, repl)
 
             def sharded_pipeline(params, state, img):
-                raw = model_preds(params, state, img)
+                if not spatial:
+                    # Data-only mesh: the forward is embarrassingly
+                    # data-parallel (eval-mode BN, per-sample pooling), so
+                    # run it per-device via shard_map instead of XLA SPMD.
+                    # Each program then owns one device, which lets the
+                    # fused Pallas serving kernels engage on multi-chip
+                    # (ctx.shard_local; they have no SPMD partitioning
+                    # rule and would otherwise fall back to XLA).
+                    raw = jax.shard_map(
+                        lambda p, s, im: model_preds(p, s, im,
+                                                     shard_local=True),
+                        mesh=mesh, in_specs=(P(), P(), P("data")),
+                        out_specs=P("data"), check_vma=False)(
+                            params, state, img)
+                else:
+                    # Spatial sharding needs XLA SPMD's conv halo
+                    # exchanges; the fused kernels stay off here.
+                    raw = model_preds(params, state, img)
                 preds = raw
                 if crf is not None:
                     # The CRF is embarrassingly data-parallel and its Pallas

@@ -16,8 +16,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from deeplab_tpu.losses import masked_sparse_ce, masked_sparse_ce_logits
-from deeplab_tpu.metrics import accuracy_from_ids, jaccard_from_ids
+from deeplab_tpu.losses import (
+    masked_sparse_ce, masked_sparse_ce_logits,
+    sparse_crossentropy_ignoring_last_label,
+    sparse_logits_crossentropy_ignoring_last_label)
+from deeplab_tpu.metrics import (accuracy_from_ids, accuracy_sums_from_ids,
+                                 jaccard_from_ids, jaccard_from_sums,
+                                 jaccard_sums_from_ids)
 from deeplab_tpu.parallel.mesh import (data_sharding, get_mesh,
                                        replicated_sharding)
 from deeplab_tpu.train.optimizer import freeze_set, make_optimizer, mask_frozen
@@ -52,7 +57,8 @@ class Trainer:
                  freeze_before: Optional[str] = None, mesh=None, seed: int = 0,
                  verbose: int = 1, spatial: bool = False,
                  compute_dtype=None, eval_dtype=None, remat: bool = False,
-                 workers: int = 1, use_multiprocessing: bool = False):
+                 workers: int = 1, use_multiprocessing: bool = False,
+                 ddp: bool = False):
         self.model = model
         self.epochs = epochs
         self.callbacks = list(callbacks)
@@ -75,6 +81,19 @@ class Trainer:
         # jax.checkpoint around the forward: trade recompute for activation
         # memory (large batches / big images).
         self.remat = remat
+        # ddp=True runs the train step PER DEVICE under shard_map instead
+        # of XLA SPMD: gradients / loss / metric sums reduce exactly over
+        # ICI psums, but BatchNorm batch statistics are computed over the
+        # LOCAL shard (the torch-DDP convention; moving stats update with
+        # the cross-device mean of the local stats).  Each shard_map
+        # program owns one device, which unlocks the fused Pallas training
+        # kernels on multi-chip meshes — they have no SPMD partitioning
+        # rule and are otherwise gated to a single global device.
+        # Data-parallel only (spatial sharding needs XLA SPMD conv halos).
+        if ddp and spatial:
+            raise ValueError("ddp=True is data-parallel only; it cannot be "
+                             "combined with spatial=True")
+        self.ddp = ddp
         self.seed = seed
         # Host data pipeline (reference fit_generator semantics,
         # utils.py:240: workers=cpu_count//2, use_multiprocessing=True):
@@ -119,16 +138,21 @@ class Trainer:
                                                      n_classes),
             }
 
+        # Only ddp passes shard_local (keeps plain-apply models without the
+        # kwarg working on the default path).
+        extra = {"shard_local": True} if self.ddp else {}
         if fused:
             def forward(p, state, X, rng):
                 return model.apply_logits(p, state, X, training=True,
                                           rng=rng, frozen=frozen,
-                                          compute_dtype=self.compute_dtype)
+                                          compute_dtype=self.compute_dtype,
+                                          **extra)
         else:
             def forward(p, state, X, rng):
                 return model.apply(p, state, X, training=True, rng=rng,
                                    frozen=frozen,
-                                   compute_dtype=self.compute_dtype)
+                                   compute_dtype=self.compute_dtype,
+                                   **extra)
 
         if self.remat:
             forward = jax.checkpoint(forward)
@@ -157,6 +181,66 @@ class Trainer:
                                         out.shape[-1]))
             return params, new_state, opt_state, metrics
 
+        def ddp_train_step(params, state, opt_state, lr_scale, rng, X, Y, SW):
+            """Per-device program (inside shard_map over the 'data' axis).
+
+            Loss, gradients, and metric sums reduce over exact psums of
+            per-shard partial sums, so everything except BatchNorm batch
+            statistics matches the SPMD train_step bit-for-bit in exact
+            arithmetic; BN normalizes with LOCAL-shard statistics (torch
+            DDP semantics) and the moving stats update with their
+            cross-device mean."""
+            # decorrelate dropout across shards (the SPMD step draws one
+            # mask over the global batch)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+            def loss_fn(p):
+                out, new_state = forward(p, state, X, rng)
+                if fused:
+                    b, h, w = X.shape[0], X.shape[1], X.shape[2]
+                    per_px = sparse_logits_crossentropy_ignoring_last_label(
+                        Y[..., 0].reshape(b, h, w), out)
+                    sw = SW.reshape(b, h, w)
+                else:
+                    per_px = sparse_crossentropy_ignoring_last_label(Y, out)
+                    sw = SW
+                # exact global Keras temporal-weight reduction: psum the
+                # nonzero-weight count now, psum the weighted sums (via the
+                # gradient/loss psums below) after differentiation
+                num = jnp.sum(per_px * sw)
+                den = jnp.sum((sw != 0).astype(per_px.dtype))
+                den_g = jnp.maximum(jax.lax.psum(den, "data"), 1.0)
+                return num / den_g, (out, new_state)
+
+            (loss_part, (out, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            loss = jax.lax.psum(loss_part, "data")
+            grads = jax.lax.psum(grads, "data")
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = mask_frozen(updates, frozen)
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
+            params = optax.apply_updates(params, updates)
+            # replicas saw different local batches -> different BN batch
+            # stats; average the moving-stat updates so state stays
+            # replicated (exact for means; var averages per-shard vars)
+            new_state = jax.lax.pmean(new_state, "data")
+
+            labels = Y[..., 0].astype(jnp.int32)
+            preds = jnp.argmax(out, axis=-1).reshape(labels.shape)
+            nc = out.shape[-1]
+            iou_sum, n_legal = jaccard_sums_from_ids(labels, preds, nc)
+            correct, legal = accuracy_sums_from_ids(labels, preds, nc)
+            metrics = {
+                "loss": loss,
+                "Jaccard": jaccard_from_sums(
+                    jax.lax.psum(iou_sum, "data"),
+                    jax.lax.psum(n_legal, "data")),
+                "sparse_accuracy": (jax.lax.psum(correct, "data")
+                                    / jnp.maximum(
+                                        jax.lax.psum(legal, "data"), 1.0)),
+            }
+            return params, new_state, opt_state, metrics
+
         def eval_step(params, state, X, Y, SW):
             # validation defaults to f32 regardless of compute_dtype:
             # val_Jaccard drives ModelCheckpoint/plateau/EarlyStopping
@@ -179,12 +263,25 @@ class Trainer:
         # images can additionally shard H over 'space'; flat labels/weights
         # shard batch only (XLA reshards activations at the flatten point).
         img_sh = data_sharding(self.mesh, spatial=self.spatial)
-        train_jit = jax.jit(
-            train_step,
-            in_shardings=(repl, repl, repl, None, None, img_sh, data, data),
-            out_shardings=(repl, repl, repl, repl),
-            donate_argnums=(0, 1, 2),
-        )
+        if self.ddp:
+            from jax.sharding import PartitionSpec as P
+            train_jit = jax.jit(
+                jax.shard_map(
+                    ddp_train_step, mesh=self.mesh,
+                    in_specs=(P(), P(), P(), P(), P(),
+                              P("data"), P("data"), P("data")),
+                    out_specs=(P(), P(), P(), P()),
+                    check_vma=False),
+                donate_argnums=(0, 1, 2),
+            )
+        else:
+            train_jit = jax.jit(
+                train_step,
+                in_shardings=(repl, repl, repl, None, None, img_sh, data,
+                              data),
+                out_shardings=(repl, repl, repl, repl),
+                donate_argnums=(0, 1, 2),
+            )
         eval_jit = jax.jit(
             eval_step,
             in_shardings=(repl, repl, img_sh, data, data),

@@ -73,6 +73,42 @@ def test_predictor_sharded_crf_pallas_interpret():
     assert set(np.unique(out)) <= set(range(21))
 
 
+def test_predictor_data_mesh_engages_fused_blocks(monkeypatch):
+    """On a data-only mesh the model runs per-device under shard_map with
+    ctx.shard_local=True, so the fused MBConv serving kernels engage on
+    multi-chip (they have no SPMD partitioning rule and are otherwise
+    gated to a single global device).  Interpret mode stands in for the
+    chip; the 8-way sharded fused pipeline must equal the 1-device-mesh
+    fused pipeline exactly and agree with the XLA composition."""
+    from deeplab_tpu.kernels import fused_mbconv as FM
+    net, params, state = _net_and_weights()
+    imgs = np.random.RandomState(6).rand(8, SZ, SZ, 3) * 255
+
+    xla = Predictor(net, params, state, crf=None,
+                    mesh=get_mesh(jax.devices()[:8]))(imgs)
+
+    monkeypatch.setattr(FM, "pallas_available", lambda: True)
+    monkeypatch.setattr(FM, "INTERPRET", True)
+    calls = []
+    real = FM.fused_block_apply
+
+    def counting(ctx, x, prefix, rate, skip, interpret=False):
+        calls.append(prefix)
+        return real(ctx, x, prefix, rate, skip, interpret=interpret)
+
+    monkeypatch.setattr(FM, "fused_block_apply", counting)
+    p8 = Predictor(net, params, state, crf=None,
+                   mesh=get_mesh(jax.devices()[:8]))(imgs)
+    assert calls, "fused serving path did not engage under the data mesh"
+    calls.clear()
+    p1 = Predictor(net, params, state, crf=None,
+                   mesh=get_mesh(jax.devices()[:1]))(imgs)
+    assert calls, "fused serving path did not engage on the 1-device mesh"
+    np.testing.assert_array_equal(p8, p1)
+    # same argmax as the XLA composition up to bf16-vs-f32 tie flips
+    assert (p8 == xla).mean() > 0.99, (p8 == xla).mean()
+
+
 def test_predictor_spatial_sharded_matches_unsharded():
     """Big-image serving: image height sharded over the mesh 'space' axis
     (conv halo exchanges via XLA SPMD), CRF over whole images per data
