@@ -86,7 +86,8 @@ def cmd_train(args):
     trainer = Trainer(net, epochs=t.epochs, callbacks=callbacks, lr=t.lr,
                       epsilon=t.epsilon, decay=t.decay,
                       freeze_before=freeze,
-                      spatial=t.spatial, seed=t.seed)
+                      spatial=t.spatial, ddp=getattr(t, "ddp", False),
+                      seed=t.seed)
     if args.resume and not t.state_checkpoint:
         print("warning: --resume given but train.state_checkpoint is not "
               "configured; starting from epoch 0")

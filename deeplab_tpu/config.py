@@ -53,6 +53,10 @@ class TrainConfig:
     min_lr: float = 1e-6
     early_stop_patience: int = 100
     spatial: bool = False
+    # per-device shard_map data parallelism (torch-DDP local-BN batch
+    # stats; unlocks the fused Pallas train kernels on multi-chip) — see
+    # Trainer(ddp=True).  Mutually exclusive with spatial.
+    ddp: bool = False
     seed: int = 0
 
 
