@@ -241,6 +241,45 @@ class Trainer:
             }
             return params, new_state, opt_state, metrics
 
+        def ddp_eval_step(params, state, X, Y, SW):
+            """Per-device eval (inside shard_map over 'data').  Eval has no
+            cross-sample coupling (moving-stat BN, no dropout), so with the
+            psum'd partial-sum reductions below this equals the SPMD
+            eval_step to float roundoff — unlike ddp training there is no
+            local-BN semantic difference."""
+            if fused:
+                out, _ = model.apply_logits(params, state, X,
+                                            compute_dtype=self.eval_dtype,
+                                            shard_local=True)
+                b, h, w = X.shape[0], X.shape[1], X.shape[2]
+                per_px = sparse_logits_crossentropy_ignoring_last_label(
+                    Y[..., 0].reshape(b, h, w), out)
+                sw = SW.reshape(b, h, w)
+            else:
+                out, _ = model.apply(params, state, X,
+                                     compute_dtype=self.eval_dtype,
+                                     shard_local=True)
+                per_px = sparse_crossentropy_ignoring_last_label(Y, out)
+                sw = SW
+            num = jnp.sum(per_px * sw)
+            den = jnp.sum((sw != 0).astype(per_px.dtype))
+            loss = (jax.lax.psum(num, "data")
+                    / jnp.maximum(jax.lax.psum(den, "data"), 1.0))
+            labels = Y[..., 0].astype(jnp.int32)
+            preds = jnp.argmax(out, axis=-1).reshape(labels.shape)
+            nc = out.shape[-1]
+            iou_sum, n_legal = jaccard_sums_from_ids(labels, preds, nc)
+            correct, legal = accuracy_sums_from_ids(labels, preds, nc)
+            return {
+                "loss": loss,
+                "Jaccard": jaccard_from_sums(
+                    jax.lax.psum(iou_sum, "data"),
+                    jax.lax.psum(n_legal, "data")),
+                "sparse_accuracy": (jax.lax.psum(correct, "data")
+                                    / jnp.maximum(
+                                        jax.lax.psum(legal, "data"), 1.0)),
+            }
+
         def eval_step(params, state, X, Y, SW):
             # validation defaults to f32 regardless of compute_dtype:
             # val_Jaccard drives ModelCheckpoint/plateau/EarlyStopping
@@ -274,6 +313,12 @@ class Trainer:
                     check_vma=False),
                 donate_argnums=(0, 1, 2),
             )
+            eval_jit = jax.jit(
+                jax.shard_map(
+                    ddp_eval_step, mesh=self.mesh,
+                    in_specs=(P(), P(), P("data"), P("data"), P("data")),
+                    out_specs=P(), check_vma=False))
+            return train_jit, eval_jit, tx
         else:
             train_jit = jax.jit(
                 train_step,

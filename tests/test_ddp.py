@@ -108,6 +108,22 @@ def test_ddp_metric_sums_match_global(monkeypatch):
     np.testing.assert_allclose(m_ddp["sparse_accuracy"], acc, rtol=1e-4)
 
 
+def test_ddp_eval_matches_spmd_exactly():
+    """Eval has no cross-sample coupling (moving-stat BN, no dropout), so
+    the ddp eval step must equal the SPMD eval step to float roundoff even
+    on DISTINCT per-shard batches."""
+    model, params, state, X, Y, SW = _setup(n_img=8, seed=11)
+    mesh = get_mesh(jax.devices()[:8])
+    _, ev_spmd, _ = Trainer(model, verbose=0,
+                            mesh=mesh)._build_steps(frozenset())
+    _, ev_ddp, _ = Trainer(model, verbose=0, mesh=mesh,
+                           ddp=True)._build_steps(frozenset())
+    a = {k: float(v) for k, v in ev_spmd(params, state, X, Y, SW).items()}
+    b = {k: float(v) for k, v in ev_ddp(params, state, X, Y, SW).items()}
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, err_msg=k)
+
+
 def test_ddp_engages_fused_train_kernels(monkeypatch):
     """bf16 ddp on a multi-device mesh must route the stride-1 expand
     blocks through the fused training kernels (ctx.shard_local lifts the
