@@ -415,6 +415,12 @@ class MultiprocessPrefetcher:
         # preloads the generator module's numpy/PIL graph WITHOUT pulling
         # jax into the process every worker forks from.
         os.environ["DEEPLAB_TPU_WORKER_IMPORT"] = "1"
+        # sitecustomize (dev env) registers the axon TPU plugin in every
+        # python process this var is set in — including the forkserver
+        # server — and blocks in connect backoffs when the tunnel is
+        # unhealthy.  Workers are numpy/PIL-only; hide it while the
+        # server/children start (restored below with the import flag).
+        axon_pool = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         try:
             ctx = mp.get_context("forkserver")
             # no-op once the server is running; before that it makes every
@@ -435,9 +441,11 @@ class MultiprocessPrefetcher:
             p.start()
             queues.append(q)
             procs.append(p)
-        # restore the flag once the server/children exist: it must not
+        # restore the flags once the server/children exist: they must not
         # leak into unrelated subprocesses the caller may spawn later
         os.environ.pop("DEEPLAB_TPU_WORKER_IMPORT", None)
+        if axon_pool is not None:
+            os.environ["PALLAS_AXON_POOL_IPS"] = axon_pool
         self._epoch += 1
         try:
             for i in range(n):

@@ -35,6 +35,21 @@ def test_example_workflow_runs(voc_dir, tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
+    # The child needs ONE cpu device: if the invoking shell exported
+    # --xla_force_host_platform_device_count=8 (harmless for the suite,
+    # whose conftest sets devices via jax.config), the child would
+    # inherit 8 virtual devices and thrash a single-core box into the
+    # subprocess timeout.  Strip it, and pin the count explicitly.
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count"))
+    env["JAX_NUM_CPU_DEVICES"] = "1"
+    # Dev-env trap: sitecustomize (PYTHONPATH=.axon_site) registers the
+    # axon TPU plugin in EVERY python process gated only on this var —
+    # ignoring JAX_PLATFORMS — and when the TPU tunnel is unhealthy that
+    # register() sleeps in minutes-long connect backoffs before the
+    # script's first line runs.  This child is CPU-only by design.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     # share the suite's persistent compile cache with the subprocess
