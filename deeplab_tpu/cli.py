@@ -147,6 +147,9 @@ def cmd_predict(args):
     use_crf = args.crf and cfg.crf.enabled
     from deeplab_tpu.data.augment import resize_bilinear
     if args.notebook_crf:
+        if args.tta_scales or args.tta_flip:
+            print("note: --tta-* flags apply to the Predictor pipeline "
+                  "only; ignored with --notebook-crf")
         # the reference notebook's per-image path (forward -> host argmax ->
         # do_crf with label compression/remap, utils.py:74-91): cell-7-9
         # exact semantics, at the cost of one XLA compile per distinct
@@ -162,7 +165,10 @@ def cmd_predict(args):
         predictor = Predictor(net, seg.params, seg.state,
                               crf=_crf_config(cfg) if use_crf else None,
                               compute_dtype=jnp.float32,
-                              return_raw=use_crf)
+                              return_raw=use_crf,
+                              tta_scales=(tuple(args.tta_scales)
+                                          if args.tta_scales else None),
+                              tta_flip=args.tta_flip)
     for path in args.images:
         bgr = resize_bilinear(_imread_bgr(path), (w, h)).astype(np.float32)
         if args.notebook_crf:
@@ -238,6 +244,12 @@ def main(argv=None):
                     help="use the notebook's per-image compressed-label CRF "
                          "(cells 7-9 exact; recompiles per label-set size) "
                          "instead of the single-compile Predictor pipeline")
+    pp.add_argument("--tta-scales", type=float, nargs="+", default=None,
+                    help="multi-scale TTA: average softmax probabilities "
+                         "over these input scales (e.g. 0.75 1.0 1.25); "
+                         "Predictor pipeline only (not --notebook-crf)")
+    pp.add_argument("--tta-flip", action="store_true",
+                    help="also average over horizontal flips")
     pp.add_argument("--out-dir", default="preds")
     pp.set_defaults(fn=cmd_predict)
 

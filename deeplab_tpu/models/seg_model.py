@@ -77,6 +77,17 @@ class SegNet:
         self.layer_order = tuple(params)
         return params, state
 
+    def at_size(self, image_size):
+        """A twin of this network at a different input resolution, sharing
+        the SAME params/state (the model is fully convolutional: conv/BN
+        parameters are size-independent; the ASPP image pool and the final
+        resize derive their geometry from the input shape).  Used by the
+        Predictor's multi-scale test-time augmentation."""
+        twin = SegNet(image_size, self.n_classes, self.backbone, self.net,
+                      OS=self.OS, alpha=self.alpha)
+        twin.layer_order = getattr(self, "layer_order", None)
+        return twin
+
     def apply(self, params, state, img, training: bool = False, rng=None,
               frozen: frozenset = frozenset(), compute_dtype=None,
               shard_local: bool = False):

@@ -26,12 +26,20 @@ class Predictor:
       crf: CrfConfig for on-device post-processing, or None to skip.
       compute_dtype: bf16 (default) for the fast path, f32 for parity.
       mesh: optional jax Mesh; batches shard over its 'data' axis.
+      tta_scales / tta_flip: multi-scale + horizontal-flip test-time
+        augmentation (the upstream DeepLab eval protocol the reference
+        inherits its mIoU claims from, deeplabv3p.py:6): softmax
+        probabilities are averaged over every (scale, flip) variant before
+        the argmax/CRF.  Scaled sizes snap to multiples of 8; scale 1.0 in
+        the tuple reuses ``net`` itself.  Requires a ``net.at_size`` twin
+        builder (SegNet has one); incompatible with ``spatial`` sharding.
     """
 
     def __init__(self, net, params, state, crf: Optional[CrfConfig] = None,
                  compute_dtype=jnp.bfloat16, mesh=None,
                  n_classes: Optional[int] = None, spatial: bool = False,
-                 return_raw: bool = False):
+                 return_raw: bool = False,
+                 tta_scales: Optional[tuple] = None, tta_flip: bool = False):
         self.net = net
         self.params = params
         self.state = state
@@ -53,6 +61,40 @@ class Predictor:
             return net.predict_ids(params, state, img,
                                    compute_dtype=compute_dtype,
                                    shard_local=shard_local)
+
+        if tta_scales or tta_flip:
+            if spatial:
+                raise ValueError("TTA is incompatible with spatial "
+                                 "sharding (per-scale resizes would cross "
+                                 "the sharded height axis)")
+            from deeplab_tpu.ops.resize import resize_bilinear_tf1
+            h, w = net.sz
+            twins = []
+            for s in (tuple(tta_scales) if tta_scales else (1.0,)):
+                hs = max(8, int(round(h * s / 8.0)) * 8)
+                ws = max(8, int(round(w * s / 8.0)) * 8)
+                twins.append(net if (hs, ws) == (h, w)
+                             else net.at_size((hs, ws)))
+
+            def model_preds(params, state, img, shard_local=False):
+                b = img.shape[0]
+                acc = jnp.zeros((b, h, w, self.n_classes), jnp.float32)
+                for m in twins:
+                    im_s = (img if m.sz == (h, w)
+                            else resize_bilinear_tf1(img, m.sz))
+                    for flip in ((False, True) if tta_flip else (False,)):
+                        x = im_s[:, :, ::-1, :] if flip else im_s
+                        probs, _ = m.apply(params, state, x,
+                                           compute_dtype=compute_dtype,
+                                           shard_local=shard_local)
+                        probs = probs.reshape((b,) + m.sz
+                                              + (self.n_classes,))
+                        if flip:
+                            probs = probs[:, :, ::-1, :]
+                        if m.sz != (h, w):
+                            probs = resize_bilinear_tf1(probs, (h, w))
+                        acc = acc + probs
+                return jnp.argmax(acc, axis=-1)
 
         def pipeline(params, state, img):
             raw = model_preds(params, state, img)
