@@ -188,3 +188,69 @@ class Predictor:
         if self.return_raw:
             return np.asarray(out[0])[:b], np.asarray(out[1])[:b]
         return np.asarray(out)[:b]
+
+    def predict_files(self, paths, batch_size: int = 16, workers: int = 4):
+        """Stream image FILES through the pipeline, overlapping host
+        decode with device compute: a thread pool decodes+resizes the
+        next batches (BGR contract, bilinear resize to the model size)
+        while the device runs the current one, and results are fetched
+        one batch behind the dispatch so the device never waits on the
+        host.  Every batch is padded to the fixed ``batch_size``, so the
+        whole stream compiles exactly once.
+
+        Yields ``(path, mask)`` pairs in input order (``(path,
+        (raw, refined))`` with ``return_raw``).  The reference's analogue
+        is the notebook's sequential predict->do_crf loop over generator
+        items (cells 7-9), which round-trips the host per image."""
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+        from deeplab_tpu.data.generator import _imread_bgr
+        from deeplab_tpu.data.augment import resize_bilinear
+
+        paths = list(paths)
+        h, w = self.net.sz
+        batches = [paths[i:i + batch_size]
+                   for i in range(0, len(paths), batch_size)]
+
+        def load_batch(bp):
+            return np.stack([resize_bilinear(_imread_bgr(p), (w, h))
+                             for p in bp]).astype(np.float32)
+
+        def dispatch(X):
+            pad = batch_size - X.shape[0]
+            if pad:
+                X = np.concatenate([X, np.repeat(X[-1:], pad, axis=0)])
+            img = jnp.asarray(X, jnp.float32)
+            if self._mesh_n > 1:
+                extra = (-batch_size) % self._mesh_n
+                if extra:
+                    img = jnp.concatenate(
+                        [img, jnp.repeat(img[-1:], extra, axis=0)], axis=0)
+            return self._fn(self.params, self.state, img)
+
+        def emit(bp, out, n):
+            if self.return_raw:
+                raw, ref = np.asarray(out[0])[:n], np.asarray(out[1])[:n]
+                for i, p in enumerate(bp):
+                    yield p, (raw[i], ref[i])
+            else:
+                arr = np.asarray(out)[:n]
+                for i, p in enumerate(bp):
+                    yield p, arr[i]
+
+        window = max(1, workers)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            decoding = collections.deque()
+            inflight = collections.deque()
+            bi = 0
+            while bi < len(batches) or decoding or inflight:
+                while bi < len(batches) and len(decoding) < window:
+                    decoding.append((batches[bi],
+                                     ex.submit(load_batch, batches[bi])))
+                    bi += 1
+                if decoding:
+                    bp, fut = decoding.popleft()
+                    inflight.append((bp, dispatch(fut.result()), len(bp)))
+                drained = bi >= len(batches) and not decoding
+                while inflight and (len(inflight) > 2 or drained):
+                    yield from emit(*inflight.popleft())
