@@ -115,8 +115,24 @@ def cmd_evaluate(args):
         horizontal_flip=False, vertical_flip=False, brightness=0.0,
         rotation=0.0, zoom=0.0, validation_split=split, seed=cfg.data.seed,
         do_ahisteq=False)
+    predict_fn = None
+    if args.tta_scales or args.tta_flip or args.eval_crf:
+        # evaluate through the serving pipeline: TTA probability averaging
+        # and/or CRF refinement (beyond the reference's cell 10, which
+        # always scores the raw forward)
+        import jax.numpy as jnp
+        from deeplab_tpu.predictor import Predictor
+        predictor = Predictor(
+            net, seg.params, seg.state,
+            crf=_crf_config(cfg) if args.eval_crf else None,
+            compute_dtype=jnp.float32,
+            tta_scales=(tuple(args.tta_scales) if args.tta_scales
+                        else None),
+            tta_flip=args.tta_flip)
+        predict_fn = predictor
     conf, iou, mean_iou = calculate_iou(net, seg.params, seg.state, gen,
-                                        nb_classes=cfg.model.n_classes)
+                                        nb_classes=cfg.model.n_classes,
+                                        predict_fn=predict_fn)
     names = list(get_VOC2012_classes().values())[:cfg.model.n_classes]
     for n, v in zip(names, iou):
         print(f"{n:>14s}: {v:.4f}")
@@ -233,6 +249,14 @@ def main(argv=None):
     pe.add_argument("--eval-split", type=float, default=None,
                     help="validation fraction (default: config's "
                          "validation_split; reference notebook used 0.05)")
+    pe.add_argument("--tta-scales", type=float, nargs="+", default=None,
+                    help="evaluate with multi-scale TTA probability "
+                         "averaging (e.g. 0.75 1.0 1.25)")
+    pe.add_argument("--tta-flip", action="store_true",
+                    help="also average over horizontal flips")
+    pe.add_argument("--eval-crf", action="store_true",
+                    help="score CRF-refined predictions (config's CRF "
+                         "parameters) instead of the raw forward")
     pe.set_defaults(fn=cmd_evaluate)
 
     pp = sub.add_parser("predict", help="predict masks for images")

@@ -56,7 +56,7 @@ def mIOU(gt: np.ndarray, preds: np.ndarray) -> float:
 
 
 def calculate_iou(net, params, state, generator, nb_classes: int = 21,
-                  ref_shift: bool = True):
+                  ref_shift: bool = True, predict_fn=None):
     """Dataset-level confusion matrix (notebook cell 10), vectorized.
 
     ``ref_shift=True`` reproduces the notebook's ``conf_m[l-1, p-1]``
@@ -65,18 +65,24 @@ def calculate_iou(net, params, state, generator, nb_classes: int = 21,
     rather than re-accumulated).  The per-class IoU vector is ALWAYS in
     standard class order (iou[c] belongs to class c) — indexing it with the
     shifted matrix's order mislabels every class by one.
+    ``predict_fn``: optional ``X -> (B, H*W) or (B, H, W) label ids``
+    override of the plain forward-argmax — evaluate through a
+    ``Predictor`` for TTA and/or CRF-refined numbers (beyond the
+    reference's cell 10, which always evaluates the raw forward).
     Returns (conf_m, per-class IoU, published mean-IOU scalar).
     """
     import jax
-    fwd = jax.jit(lambda p, s, x: net.apply(p, s, x)[0])
+    if predict_fn is None:
+        fwd = jax.jit(lambda p, s, x: net.apply(p, s, x)[0])
+        predict_fn = lambda X: jnp.argmax(
+            fwd(params, state, jnp.asarray(X)), axis=-1)
     # host-side int64 accumulation: int32 diagonal cells wrap at ~2.1e9
     # pixels of one class (a few thousand high-res images)
     conf = np.zeros((nb_classes, nb_classes), np.int64)
     for i in range(len(generator)):
         X, Y, _ = generator[i]
-        probs = fwd(params, state, jnp.asarray(X))
-        preds = jnp.argmax(probs, axis=-1)             # (B, H*W)
         labels = jnp.asarray(Y[..., 0])
+        preds = jnp.asarray(predict_fn(X)).reshape(labels.shape)
         conf += np.asarray(_confusion_matrix(labels, preds, nb_classes),
                            np.int64)
     conf_ref = np.roll(conf, (-1, -1), axis=(0, 1))    # the cell-10 quirk

@@ -82,6 +82,65 @@ def test_tta_sharded_matches_unsharded():
     np.testing.assert_array_equal(p1(imgs), p8(imgs))
 
 
+def test_calculate_iou_predict_fn_matches_default():
+    """viz.calculate_iou(predict_fn=...) — a scale-1.0 TTA Predictor IS the
+    default forward-argmax (both argmax the f32 softmax), so the whole
+    confusion matrix must match."""
+    from deeplab_tpu.viz import calculate_iou
+    net, params, state = _net_and_weights()
+    rng = np.random.RandomState(5)
+    X = rng.rand(4, SZ, SZ, 3).astype(np.float32) * 255
+    Y = rng.randint(0, 21, (4, SZ * SZ, 1)).astype(np.float32)
+
+    class Gen:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return X[2 * i:2 * i + 2], Y[2 * i:2 * i + 2], {}
+
+    import jax.numpy as jnp
+    conf0, iou0, m0 = calculate_iou(net, params, state, Gen())
+    tta = Predictor(net, params, state, crf=None, tta_scales=(1.0,),
+                    compute_dtype=jnp.float32)
+    conf1, iou1, m1 = calculate_iou(net, params, state, Gen(),
+                                    predict_fn=tta)
+    np.testing.assert_array_equal(conf0, conf1)
+    assert m0 == m1
+
+
+def test_cli_evaluate_tta_crf(tmp_path):
+    """CLI evaluate --tta-scales/--eval-crf smoke: scores the serving
+    pipeline instead of the raw forward."""
+    from PIL import Image
+    from deeplab_tpu import cli
+    from deeplab_tpu.config import Config
+    root = tmp_path / "voc"
+    (root / "JPEGImages" / "train").mkdir(parents=True)
+    (root / "SegmentationClassAug").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        img = rng.randint(0, 255, (40, 40, 3), np.uint8)
+        lab = rng.randint(0, 5, (40, 40), dtype=np.uint8)
+        Image.fromarray(img).save(
+            root / "JPEGImages" / "train" / f"im{i}.jpg", quality=95)
+        Image.fromarray(lab, mode="L").save(
+            root / "SegmentationClassAug" / f"im{i}.png")
+    cfg = Config()
+    cfg.model.image_size = (32, 32)
+    cfg.model.n_classes = 5
+    cfg.data.dataset = str(root)
+    cfg.data.validation_split = 0.25
+    cfg.train.batch_size = 2
+    cfg.crf.sxy_bilateral = 16.0
+    cfg.crf.n_iters = 1
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+    cli.main(["evaluate", "--config", cfg_path,
+              "--tta-scales", "0.75", "1.0", "--tta-flip", "--eval-crf"])
+
+
 def test_tta_rejects_spatial_sharding():
     net, params, state = _net_and_weights()
     with pytest.raises(ValueError):
