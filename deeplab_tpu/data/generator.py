@@ -409,43 +409,42 @@ class MultiprocessPrefetcher:
         import multiprocessing as mp
         n = len(self.gen)
         w = max(1, min(self.workers, n))
+        from deeplab_tpu.hostenv import tpu_plugin_env_hidden
         # DEEPLAB_TPU_WORKER_IMPORT makes `import deeplab_tpu` skip the
         # jax-importing re-exports (deeplab_tpu/__init__.py): the
         # forkserver server (which inherits this env at its first start)
         # preloads the generator module's numpy/PIL graph WITHOUT pulling
-        # jax into the process every worker forks from.
-        os.environ["DEEPLAB_TPU_WORKER_IMPORT"] = "1"
-        # sitecustomize (dev env) registers the axon TPU plugin in every
-        # python process this var is set in — including the forkserver
-        # server — and blocks in connect backoffs when the tunnel is
-        # unhealthy.  Workers are numpy/PIL-only; hide it while the
-        # server/children start (restored below with the import flag).
-        axon_pool = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-        try:
-            ctx = mp.get_context("forkserver")
-            # no-op once the server is running; before that it makes every
-            # future worker fork with numpy/PIL (and the module graph the
-            # pickled generator needs) already imported
-            ctx.set_forkserver_preload(self._PRELOAD)
-        except Exception:  # pragma: no cover - exotic platforms
-            ctx = mp.get_context("spawn")
-        per_q = max(1, self.max_queue_size // w)
+        # jax into the process every worker forks from.  Both env flags are
+        # scoped to the server/children startup — exception-safe, so a
+        # failed Queue()/start() cannot leak them into unrelated
+        # subprocesses the caller spawns later.
         queues, procs = [], []
-        for wi in range(w):
-            q = ctx.Queue(maxsize=per_q)
-            p = ctx.Process(
-                target=_mp_worker,
-                args=(self.gen, range(wi, n, w), q,
-                      (self.seed + 977 * self._epoch + wi) % (2 ** 31)),
-                daemon=True)
-            p.start()
-            queues.append(q)
-            procs.append(p)
-        # restore the flags once the server/children exist: they must not
-        # leak into unrelated subprocesses the caller may spawn later
-        os.environ.pop("DEEPLAB_TPU_WORKER_IMPORT", None)
-        if axon_pool is not None:
-            os.environ["PALLAS_AXON_POOL_IPS"] = axon_pool
+        try:
+            os.environ["DEEPLAB_TPU_WORKER_IMPORT"] = "1"
+            with tpu_plugin_env_hidden():   # workers are numpy/PIL-only
+                try:
+                    ctx = mp.get_context("forkserver")
+                    # no-op once the server is running; before that it
+                    # makes every future worker fork with numpy/PIL (and
+                    # the module graph the pickled generator needs)
+                    # already imported
+                    ctx.set_forkserver_preload(self._PRELOAD)
+                except Exception:  # pragma: no cover - exotic platforms
+                    ctx = mp.get_context("spawn")
+                per_q = max(1, self.max_queue_size // w)
+                for wi in range(w):
+                    q = ctx.Queue(maxsize=per_q)
+                    p = ctx.Process(
+                        target=_mp_worker,
+                        args=(self.gen, range(wi, n, w), q,
+                              (self.seed + 977 * self._epoch + wi)
+                              % (2 ** 31)),
+                        daemon=True)
+                    p.start()
+                    queues.append(q)
+                    procs.append(p)
+        finally:
+            os.environ.pop("DEEPLAB_TPU_WORKER_IMPORT", None)
         self._epoch += 1
         try:
             for i in range(n):

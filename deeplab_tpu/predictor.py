@@ -69,10 +69,13 @@ class Predictor:
                                  "the sharded height axis)")
             from deeplab_tpu.ops.resize import resize_bilinear_tf1
             h, w = net.sz
-            twins = []
+            twins, seen = [], set()
             for s in (tuple(tta_scales) if tta_scales else (1.0,)):
                 hs = max(8, int(round(h * s / 8.0)) * 8)
                 ws = max(8, int(round(w * s / 8.0)) * 8)
+                if (hs, ws) in seen:   # scales that snap to the same size
+                    continue           # would double-weight that forward
+                seen.add((hs, ws))
                 twins.append(net if (hs, ws) == (h, w)
                              else net.at_size((hs, ws)))
 
@@ -208,6 +211,7 @@ class Predictor:
         from deeplab_tpu.data.augment import resize_bilinear
 
         paths = list(paths)
+        workers = max(1, workers)
         h, w = self.net.sz
         batches = [paths[i:i + batch_size]
                    for i in range(0, len(paths), batch_size)]
@@ -238,7 +242,7 @@ class Predictor:
                 for i, p in enumerate(bp):
                     yield p, arr[i]
 
-        window = max(1, workers)
+        window = workers
         with ThreadPoolExecutor(max_workers=workers) as ex:
             decoding = collections.deque()
             inflight = collections.deque()

@@ -44,12 +44,11 @@ def test_example_workflow_runs(voc_dir, tmp_path):
         f for f in env.get("XLA_FLAGS", "").split()
         if not f.startswith("--xla_force_host_platform_device_count"))
     env["JAX_NUM_CPU_DEVICES"] = "1"
-    # Dev-env trap: sitecustomize (PYTHONPATH=.axon_site) registers the
-    # axon TPU plugin in EVERY python process gated only on this var —
-    # ignoring JAX_PLATFORMS — and when the TPU tunnel is unhealthy that
-    # register() sleeps in minutes-long connect backoffs before the
-    # script's first line runs.  This child is CPU-only by design.
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # CPU-only child: keep the dev-env sitecustomize from registering the
+    # TPU plugin in it (minutes-long connect backoffs when the tunnel is
+    # unhealthy) — see deeplab_tpu/hostenv.py
+    from deeplab_tpu.hostenv import strip_tpu_plugin_env
+    strip_tpu_plugin_env(env)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     # share the suite's persistent compile cache with the subprocess

@@ -43,6 +43,16 @@ def test_predict_files_matches_call(image_files):
         np.testing.assert_array_equal(got[p], want[i])
 
 
+def test_predict_files_workers_zero(image_files):
+    """workers derived from cpu-count arithmetic can bottom out at 0;
+    predict_files clamps instead of crashing the thread pool."""
+    net = SegNet((SZ, SZ), 21, "mobilenetv2", "original")
+    params, state = net.init(jax.random.key(0))
+    pred = Predictor(net, params, state, crf=None)
+    got = dict(pred.predict_files(image_files[:2], batch_size=2, workers=0))
+    assert list(got) == image_files[:2]
+
+
 def test_predict_files_return_raw_and_ragged(image_files):
     net = SegNet((SZ, SZ), 21, "mobilenetv2", "original")
     params, state = net.init(jax.random.key(0))

@@ -52,6 +52,18 @@ def test_tta_flip_equivariance():
     np.testing.assert_array_equal(a, b[:, :, ::-1])
 
 
+def test_tta_dedupes_snapped_scales():
+    """Scales that snap to the same multiple-of-8 size run once: the
+    ensemble must equal the deduped one (no double-weighted forward)."""
+    net, params, state = _net_and_weights()
+    imgs = np.random.RandomState(7).rand(2, SZ, SZ, 3) * 255
+    a = Predictor(net, params, state, crf=None,
+                  tta_scales=(0.97, 1.0, 0.5))(imgs)
+    b = Predictor(net, params, state, crf=None,
+                  tta_scales=(1.0, 0.5))(imgs)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_tta_multiscale_with_crf():
     net, params, state = _net_and_weights()
     imgs = np.random.RandomState(2).rand(2, SZ, SZ, 3) * 255

@@ -178,10 +178,11 @@ def main():
         # override, not setdefault: the dev shell exports JAX_PLATFORMS=axon
         # (TPU tunnel) and the kernel subprocess inherits it
         os.environ["JAX_PLATFORMS"] = "cpu"
-        # ... and the axon sitecustomize hook registers the TPU plugin in
-        # every python process this var is visible in (kernel included),
-        # blocking on tunnel backoffs when it's down
-        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        # ... and keep the sitecustomize TPU-plugin registration out of the
+        # kernel subprocess (tunnel backoffs) — see deeplab_tpu/hostenv.py
+        sys.path.insert(0, REPO)
+        from deeplab_tpu.hostenv import strip_tpu_plugin_env
+        strip_tpu_plugin_env(os.environ)
         os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                               os.path.join(REPO, ".jax_cache"))
         client = NotebookClient(nb, timeout=1800,
