@@ -20,6 +20,7 @@ is ALWAYS the last line):
     TPU) and frozen fine-tune bf16 (bs=32, freeze before
     'concat_projection' — notebook cell 5)
   - Xception backbone model+CRF (bs=16)
+  - TTA ensemble (3 scales x flip), opt-in via BENCH_STAGES=...,tta
   - HEADLINE: model+CRF at BATCH
 
 Inference/training stages also report XLA cost-analysis FLOPs and the
@@ -285,6 +286,20 @@ def main():
             bench_train(32, fz,
                         "512x512 VOC train step (frozen fine-tune, bf16) "
                         "images/sec/chip")
+
+    if "tta" in STAGES:
+        # opt-in (BENCH_STAGES=...,tta): the eval-protocol ensemble —
+        # 3 scales x 2 flips = 6 forwards per image, probability-averaged
+        from deeplab_tpu.predictor import Predictor
+        tp = Predictor(model, params, state, crf=None,
+                       tta_scales=(0.75, 1.0, 1.25), tta_flip=True)
+        tbs = max(8, BATCH // 4)
+        timg = img[:tbs]
+        dt = timeit(lambda: tp._fn(tp.params, tp.state, timg), checksum)
+        emit(tag("512x512 VOC TTA inference (3 scales x flip, model only) "
+                 "images/sec/chip"),
+             tbs / dt, "img/s/chip", (tbs / dt) / BASELINE_PER_CHIP,
+             batch=tbs)
 
     if "xception" in STAGES and BACKBONE == "mobilenetv2":
         xm = SegNet(SZ, 21, "xception", NET)
