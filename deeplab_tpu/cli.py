@@ -157,11 +157,27 @@ def cmd_predict(args):
     from deeplab_tpu.config import Config
     from deeplab_tpu.data.generator import _imread_bgr
     cfg = Config.load(args.config) if args.config else __default_cfg()
+    os.makedirs(args.out_dir, exist_ok=True)
+    from deeplab_tpu.data.augment import resize_bilinear
+    if args.artifact:
+        # serve from an AOT-exported artifact (export-serving): no model
+        # code, no h5 — geometry and the CRF choice are baked into the file
+        from deeplab_tpu.export import load_serving
+        art = load_serving(args.artifact)
+        if args.notebook_crf or args.tta_scales or args.tta_flip:
+            print("note: --notebook-crf/--tta-* are export-time choices; "
+                  "ignored with --artifact")
+        h, w = art.sz
+        use_crf = art.meta.get("crf") is not None
+        for path in args.images:
+            bgr = resize_bilinear(_imread_bgr(path),
+                                  (w, h)).astype(np.float32)
+            _write_prediction(args, path, bgr, art(bgr[None])[0], None,
+                              use_crf)
+        return
     seg, net = _build(cfg, weights=args.weights)
     h, w = cfg.model.image_size
-    os.makedirs(args.out_dir, exist_ok=True)
     use_crf = args.crf and cfg.crf.enabled
-    from deeplab_tpu.data.augment import resize_bilinear
     if args.notebook_crf:
         if args.tta_scales or args.tta_flip:
             print("note: --tta-* flags apply to the Predictor pipeline "
@@ -200,22 +216,46 @@ def cmd_predict(args):
             pred_raw, pred = raw[0], refined[0]
         else:
             pred_raw = pred = predictor(bgr[None])[0]
-        stem = os.path.join(args.out_dir,
-                            os.path.splitext(os.path.basename(path))[0])
-        out = stem + "_mask.png"
-        Image.fromarray(pred.astype(np.uint8), mode="L").save(out)
-        # cell-9 style visual artifacts: VOC-colorized mask + side-by-side
-        from deeplab_tpu.viz import colorize_mask
-        Image.fromarray(colorize_mask(pred)).save(stem + "_color.png")
-        try:  # the figure needs matplotlib (optional 'viz' extra)
-            from deeplab_tpu.viz import plot_predictions
-            panels = [("prediction" + (" + CRF" if use_crf else ""), pred)]
-            if use_crf:
-                panels.insert(0, ("prediction", pred_raw))
-            plot_predictions(bgr, panels, path=stem + "_viz.png")
-        except Exception as e:  # matplotlib missing OR a broken backend
-            print(f"note: skipping _viz.png ({e})")
-        print(f"{path} -> {out} (classes: {sorted(set(pred.flat))})")
+        _write_prediction(args, path, bgr, pred, pred_raw, use_crf)
+
+
+def _write_prediction(args, path, bgr, pred, pred_raw, use_crf):
+    """Per-image outputs: mask PNG, VOC-colorized PNG, cell-9 figure."""
+    from PIL import Image
+    stem = os.path.join(args.out_dir,
+                        os.path.splitext(os.path.basename(path))[0])
+    out = stem + "_mask.png"
+    Image.fromarray(pred.astype(np.uint8), mode="L").save(out)
+    # cell-9 style visual artifacts: VOC-colorized mask + side-by-side
+    from deeplab_tpu.viz import colorize_mask
+    Image.fromarray(colorize_mask(pred)).save(stem + "_color.png")
+    try:  # the figure needs matplotlib (optional 'viz' extra)
+        from deeplab_tpu.viz import plot_predictions
+        panels = [("prediction" + (" + CRF" if use_crf else ""), pred)]
+        if use_crf and pred_raw is not None:
+            panels.insert(0, ("prediction", pred_raw))
+        plot_predictions(bgr, panels, path=stem + "_viz.png")
+    except Exception as e:  # matplotlib missing OR a broken backend
+        print(f"note: skipping _viz.png ({e})")
+    print(f"{path} -> {out} (classes: {sorted(set(pred.flat))})")
+
+
+def cmd_export_serving(args):
+    import jax.numpy as jnp
+    from deeplab_tpu.config import Config
+    from deeplab_tpu.export import save_serving
+    cfg = Config.load(args.config) if args.config else __default_cfg()
+    seg, net = _build(cfg, weights=args.weights)
+    exp = save_serving(
+        args.out, net, seg.params, seg.state,
+        crf=_crf_config(cfg) if args.crf else None,
+        batch=args.batch,
+        compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        platforms=args.platforms)
+    size_mb = os.path.getsize(args.out) / 1e6
+    print(f"{args.out}: {size_mb:.1f} MB, platforms={list(exp.platforms)}, "
+          f"batch={'symbolic' if args.batch is None else args.batch}, "
+          f"crf={'on' if args.crf else 'off'}")
 
 
 def cmd_export_config(args):
@@ -263,6 +303,10 @@ def main(argv=None):
     pp.add_argument("--config")
     pp.add_argument("--weights")
     pp.add_argument("--images", nargs="+", required=True)
+    pp.add_argument("--artifact",
+                    help="serve from an export-serving .npz artifact "
+                         "instead of building the model (ignores --weights; "
+                         "the CRF choice is baked into the artifact)")
     pp.add_argument("--crf", action="store_true")
     pp.add_argument("--notebook-crf", action="store_true",
                     help="use the notebook's per-image compressed-label CRF "
@@ -276,6 +320,25 @@ def main(argv=None):
                     help="also average over horizontal flips")
     pp.add_argument("--out-dir", default="preds")
     pp.set_defaults(fn=cmd_predict)
+
+    px = sub.add_parser("export-serving",
+                        help="AOT-export the serving pipeline (model [+CRF]) "
+                             "to a self-contained StableHLO .npz artifact")
+    px.add_argument("--config")
+    px.add_argument("--weights", help="trained weights h5 to bake into the "
+                                      "artifact")
+    px.add_argument("--out", default="serving.npz")
+    px.add_argument("--batch", type=int, default=None,
+                    help="fixed batch size (default: symbolic — one "
+                         "artifact serves any batch)")
+    px.add_argument("--crf", action="store_true",
+                    help="include on-device dense-CRF refinement")
+    px.add_argument("--f32", action="store_true",
+                    help="f32 compute (default bf16)")
+    px.add_argument("--platforms", nargs="+", default=None,
+                    help="lowering targets, e.g. --platforms tpu cpu "
+                         "(default: this process's backend)")
+    px.set_defaults(fn=cmd_export_serving)
 
     pc = sub.add_parser("export-config", help="print default config JSON")
     pc.set_defaults(fn=cmd_export_config)

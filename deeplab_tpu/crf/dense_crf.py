@@ -766,4 +766,7 @@ def mean_field_batched(imgs: jnp.ndarray, masks: jnp.ndarray,
 
     # sequential chunks: the per-image pixel-space intermediates are large
     # (hundreds of MB); full vmap would multiply them by the batch size.
-    return jax.lax.map(one, (imgs.astype(jnp.float32), masks), batch_size=2)
+    # A symbolic batch dim (jax.export shape polymorphism) cannot be split
+    # into fixed chunks — scan one-at-a-time there instead.
+    bs = 2 if isinstance(imgs.shape[0], int) else None
+    return jax.lax.map(one, (imgs.astype(jnp.float32), masks), batch_size=bs)

@@ -68,3 +68,18 @@ def test_export_config_round_trip(tiny_cfg, capsys):
     printed = capsys.readouterr().out
     cfg = Config.from_json(printed)
     assert json.loads(printed) == json.loads(cfg.to_json())
+
+
+def test_export_serving_and_predict_from_artifact(tiny_cfg):
+    cfg_path, imgs, root = tiny_cfg
+    art = os.path.join(root, "serving.npz")
+    cli.main(["export-serving", "--config", cfg_path, "--out", art,
+              "--crf", "--f32"])
+    out = os.path.join(root, "preds_art")
+    cli.main(["predict", "--config", cfg_path, "--images", *imgs,
+              "--artifact", art, "--out-dir", out])
+    ref = os.path.join(root, "preds_ref")
+    cli.main(["predict", "--config", cfg_path, "--images", *imgs,
+              "--crf", "--out-dir", ref])
+    for m_art, m_ref in zip(_masks(out, imgs), _masks(ref, imgs)):
+        np.testing.assert_array_equal(m_art, m_ref)
