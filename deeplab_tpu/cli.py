@@ -240,6 +240,35 @@ def _write_prediction(args, path, bgr, pred, pred_raw, use_crf):
     print(f"{path} -> {out} (classes: {sorted(set(pred.flat))})")
 
 
+def cmd_serve(args):
+    import jax.numpy as jnp
+    from deeplab_tpu.config import Config
+    from deeplab_tpu.serve import BatchingServer
+    max_batch = args.max_batch
+    if args.artifact:
+        from deeplab_tpu.export import load_serving
+        art = load_serving(args.artifact)
+        pipeline, sz = art, art.sz
+        if art.batch is not None:     # fixed-batch artifact bounds batching
+            max_batch = min(max_batch, art.batch)
+        meta = {"pipeline": "artifact",
+                "crf": art.meta.get("crf") is not None}
+    else:
+        from deeplab_tpu.predictor import Predictor
+        cfg = Config.load(args.config) if args.config else __default_cfg()
+        seg, net = _build(cfg, load_weights=not args.weights,
+                          weights=args.weights)
+        pipeline = Predictor(
+            net, seg.params, seg.state,
+            crf=_crf_config(cfg) if args.crf else None,
+            compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16)
+        sz = net.sz
+        meta = {"pipeline": "predictor", "crf": bool(args.crf)}
+    server = BatchingServer(pipeline, sz, max_batch=max_batch,
+                            max_wait_ms=args.max_wait_ms, meta=meta)
+    server.serve_forever(host=args.host, port=args.port)
+
+
 def cmd_export_serving(args):
     import jax.numpy as jnp
     from deeplab_tpu.config import Config
@@ -320,6 +349,27 @@ def main(argv=None):
                     help="also average over horizontal flips")
     pp.add_argument("--out-dir", default="preds")
     pp.set_defaults(fn=cmd_predict)
+
+    ps = sub.add_parser("serve",
+                        help="HTTP inference server with dynamic batching "
+                             "(POST /predict -> PNG mask)")
+    ps.add_argument("--artifact",
+                    help="serve an export-serving .npz artifact")
+    ps.add_argument("--config")
+    ps.add_argument("--weights", help="weights h5 for the live-Predictor "
+                                      "mode (no --artifact)")
+    ps.add_argument("--crf", action="store_true",
+                    help="CRF refinement (live-Predictor mode)")
+    ps.add_argument("--f32", action="store_true",
+                    help="f32 compute (default bf16; live-Predictor mode)")
+    ps.add_argument("--host", default="0.0.0.0")
+    ps.add_argument("--port", type=int, default=8517)
+    ps.add_argument("--max-batch", type=int, default=8,
+                    help="dynamic-batching cap per device call")
+    ps.add_argument("--max-wait-ms", type=float, default=10.0,
+                    help="how long the dispatcher waits to fill a batch "
+                         "after the first request arrives")
+    ps.set_defaults(fn=cmd_serve)
 
     px = sub.add_parser("export-serving",
                         help="AOT-export the serving pipeline (model [+CRF]) "

@@ -83,3 +83,38 @@ def test_export_serving_and_predict_from_artifact(tiny_cfg):
               "--crf", "--out-dir", ref])
     for m_art, m_ref in zip(_masks(out, imgs), _masks(ref, imgs)):
         np.testing.assert_array_equal(m_art, m_ref)
+
+
+def test_serve_command_wiring(tiny_cfg, monkeypatch):
+    """cli serve --artifact builds a BatchingServer over the artifact; drive
+    one real HTTP request through it (serve_forever stubbed to not block)."""
+    import io
+    import urllib.request
+    from PIL import Image as PILImage
+    from deeplab_tpu.serve import BatchingServer
+    cfg_path, imgs, root = tiny_cfg
+    art = os.path.join(root, "serve_art.npz")
+    cli.main(["export-serving", "--config", cfg_path, "--out", art,
+              "--batch", "2", "--f32"])
+    captured = {}
+    monkeypatch.setattr(
+        BatchingServer, "serve_forever",
+        lambda self, host="0.0.0.0", port=8517: captured.update(
+            server=self, host=host, port=port))
+    cli.main(["serve", "--artifact", art, "--port", "0",
+              "--max-batch", "8", "--max-wait-ms", "1"])
+    srv = captured["server"]
+    assert srv.sz == (32, 32)
+    # fixed-batch artifact must clamp the dynamic-batching cap
+    assert srv.dispatcher.max_batch == 2
+    port = srv.start(port=0)
+    try:
+        with open(imgs[0], "rb") as f:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict", data=f.read(),
+                method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            mask = np.asarray(PILImage.open(io.BytesIO(r.read())))
+        assert mask.shape == (32, 32) and mask.max() < 5
+    finally:
+        srv.stop()
