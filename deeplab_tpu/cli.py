@@ -153,7 +153,6 @@ def _crf_config(cfg):
 def cmd_predict(args):
     import jax
     import jax.numpy as jnp
-    from PIL import Image
     from deeplab_tpu.config import Config
     from deeplab_tpu.data.generator import _imread_bgr
     cfg = Config.load(args.config) if args.config else __default_cfg()
@@ -164,11 +163,13 @@ def cmd_predict(args):
         # code, no h5 — geometry and the CRF choice are baked into the file
         from deeplab_tpu.export import load_serving
         art = load_serving(args.artifact)
-        if args.notebook_crf or args.tta_scales or args.tta_flip:
-            print("note: --notebook-crf/--tta-* are export-time choices; "
-                  "ignored with --artifact")
-        h, w = art.sz
         use_crf = art.meta.get("crf") is not None
+        if (args.notebook_crf or args.tta_scales or args.tta_flip
+                or (args.crf and not use_crf)):
+            print("note: --crf/--notebook-crf/--tta-* are export-time "
+                  "choices baked into the artifact (this one has CRF "
+                  f"{'on' if use_crf else 'off'}); flags ignored")
+        h, w = art.sz
         for path in args.images:
             bgr = resize_bilinear(_imread_bgr(path),
                                   (w, h)).astype(np.float32)
@@ -258,12 +259,13 @@ def cmd_serve(args):
         cfg = Config.load(args.config) if args.config else __default_cfg()
         seg, net = _build(cfg, load_weights=not args.weights,
                           weights=args.weights)
+        use_crf = args.crf and cfg.crf.enabled   # same gate as cmd_predict
         pipeline = Predictor(
             net, seg.params, seg.state,
-            crf=_crf_config(cfg) if args.crf else None,
+            crf=_crf_config(cfg) if use_crf else None,
             compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16)
         sz = net.sz
-        meta = {"pipeline": "predictor", "crf": bool(args.crf)}
+        meta = {"pipeline": "predictor", "crf": use_crf}
     server = BatchingServer(pipeline, sz, max_batch=max_batch,
                             max_wait_ms=args.max_wait_ms, meta=meta)
     server.serve_forever(host=args.host, port=args.port)
@@ -274,17 +276,24 @@ def cmd_export_serving(args):
     from deeplab_tpu.config import Config
     from deeplab_tpu.export import save_serving
     cfg = Config.load(args.config) if args.config else __default_cfg()
-    seg, net = _build(cfg, weights=args.weights)
+    # like cmd_serve: fall back to the config's checkpoint when --weights is
+    # absent, and never silently bake random init into a deployable artifact
+    seg, net = _build(cfg, load_weights=not args.weights,
+                      weights=args.weights)
+    if not args.weights and not os.path.exists(seg.modelpath):
+        print(f"warning: no --weights and no checkpoint at {seg.modelpath} "
+              "— exporting freshly-initialized (untrained) weights")
+    use_crf = args.crf and cfg.crf.enabled       # same gate as cmd_predict
     exp = save_serving(
         args.out, net, seg.params, seg.state,
-        crf=_crf_config(cfg) if args.crf else None,
+        crf=_crf_config(cfg) if use_crf else None,
         batch=args.batch,
         compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         platforms=args.platforms)
     size_mb = os.path.getsize(args.out) / 1e6
     print(f"{args.out}: {size_mb:.1f} MB, platforms={list(exp.platforms)}, "
           f"batch={'symbolic' if args.batch is None else args.batch}, "
-          f"crf={'on' if args.crf else 'off'}")
+          f"crf={'on' if use_crf else 'off'}")
 
 
 def cmd_export_config(args):

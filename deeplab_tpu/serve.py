@@ -58,11 +58,14 @@ class _Dispatcher:
         self.max_wait = max_wait_ms / 1e3
         self.q: queue.Queue = queue.Queue()
         self._stop = object()
+        self._closed = False
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
     def submit(self, img: np.ndarray):
         """Blocking: returns this image's (H, W) mask."""
+        if self._closed:
+            raise RuntimeError("dispatcher is shut down")
         slot = {"event": threading.Event()}
         self.q.put((img, slot))
         slot["event"].wait()
@@ -71,6 +74,7 @@ class _Dispatcher:
         return slot["mask"]
 
     def shutdown(self):
+        self._closed = True
         self.q.put(self._stop)
         self.thread.join(timeout=5)
 
@@ -95,12 +99,26 @@ class _Dispatcher:
             batch.append(nxt)
         return batch
 
+    def _bucket(self, n: int) -> int:
+        """Pad gathered batches up to a power-of-2 bucket (≤ max_batch) so
+        the device sees at most log2(max_batch)+1 distinct shapes — without
+        this, every new gathered size costs a fresh XLA compile that stalls
+        the single dispatcher thread (and everyone queued behind it)."""
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, self.max_batch)
+
     def _loop(self):
         while True:
             batch = self._gather()
             if batch is None:
-                return
+                break
             imgs = np.stack([b[0] for b in batch])
+            pad = self._bucket(len(batch)) - len(batch)
+            if pad > 0:
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad,
+                                                       axis=0)])
             try:
                 masks = self.predict_fn(imgs)
                 for i, (_, slot) in enumerate(batch):
@@ -110,6 +128,15 @@ class _Dispatcher:
                 for _, slot in batch:
                     slot["error"] = e
                     slot["event"].set()
+        # drain anything that raced shutdown so no submit() waits forever
+        while True:
+            try:
+                item = self.q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not self._stop:
+                item[1]["error"] = RuntimeError("dispatcher is shut down")
+                item[1]["event"].set()
 
 
 class BatchingServer:
@@ -121,8 +148,10 @@ class BatchingServer:
     """
 
     def __init__(self, pipeline: Callable, image_size, max_batch: int = 8,
-                 max_wait_ms: float = 10.0, meta: Optional[dict] = None):
+                 max_wait_ms: float = 10.0, meta: Optional[dict] = None,
+                 max_body_bytes: int = 64 << 20):
         self.sz = tuple(image_size)
+        self.max_body = max_body_bytes
         self.meta = dict(meta or {})
         self.meta.update(image_size=list(self.sz), max_batch=max_batch,
                          max_wait_ms=max_wait_ms)
@@ -152,7 +181,16 @@ class BatchingServer:
                 if self.path.rstrip("/") != "/predict":
                     self.send_error(404)
                     return
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    self.send_error(400, "bad Content-Length")
+                    return
+                if not 0 < n <= server.max_body:
+                    self.send_error(
+                        400 if n <= 0 else 413,
+                        f"body must be 1..{server.max_body} bytes")
+                    return
                 data = self.rfile.read(n)
                 try:
                     img = _decode_bgr(data, server.sz[::-1])

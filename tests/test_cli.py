@@ -25,6 +25,9 @@ def tiny_cfg(tmp_path_factory):
     cfg.model.n_classes = 5
     cfg.crf.sxy_bilateral = 16.0
     cfg.crf.n_iters = 2
+    # keep export-serving's checkpoint fallback away from the repo's
+    # 21-class weights/ dir (it would reject them for this 5-class model)
+    cfg.train.checkpoint_dir = str(root / "ckpt")
     path = str(root / "config.json")
     with open(path, "w") as f:
         f.write(cfg.to_json())

@@ -58,8 +58,19 @@ def test_dispatcher_batches_and_routes_results():
         assert results[i] is not None
         np.testing.assert_array_equal(results[i],
                                       np.full(SZ, v % 21, np.int32))
-    # concurrency made at least one multi-image batch (3 submits, <3 calls)
-    assert sum(calls) == 3 and len(calls) < 3
+    # concurrency made at least one multi-image batch (3 submits, <3 calls),
+    # and every device call was padded to a power-of-2 bucket (compile-count
+    # bound: at most log2(max_batch)+1 distinct shapes ever hit the device)
+    assert len(calls) < 3
+    assert all(c in (1, 2, 4) for c in calls)
+
+
+def test_dispatcher_shutdown_unblocks_racing_submits():
+    """A submit that lands after shutdown must error, not hang."""
+    d = _Dispatcher(_fake_pipeline, max_batch=2, max_wait_ms=1.0)
+    d.shutdown()
+    with pytest.raises(RuntimeError, match="shut down"):
+        d.submit(np.zeros(SZ + (3,), np.float32))
 
 
 def test_dispatcher_propagates_errors():
@@ -173,3 +184,19 @@ def test_server_over_real_artifact(tmp_path):
         np.testing.assert_array_equal(mask, direct)
     finally:
         srv.stop()
+
+
+def test_oversized_and_bogus_content_length(server):
+    _, port = server
+    import http.client
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    # absurd Content-Length is rejected up front (no buffering attempt)
+    conn.request("POST", "/predict", body=b"x",
+                 headers={"Content-Length": str(10 ** 10)})
+    assert conn.getresponse().status == 413
+    conn.close()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("POST", "/predict", body=b"",
+                 headers={"Content-Length": "0"})
+    assert conn.getresponse().status == 400
+    conn.close()
