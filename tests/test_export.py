@@ -114,3 +114,21 @@ def test_build_serving_fn_is_the_predictor_math(net_and_weights):
     imgs = jnp.asarray(_images(2, seed=5))
     ref = Predictor(net, params, state, crf=crf)(np.asarray(imgs))
     np.testing.assert_array_equal(np.asarray(fn(params, state, imgs)), ref)
+
+
+def test_multiplatform_export_from_cpu_host(net_and_weights, tmp_path):
+    """platforms=('tpu','cpu') lowers both targets from a CPU host (the
+    XLA-only graph — fused Pallas kernels are gated off here) and the
+    artifact still executes on the exporting platform."""
+    net, params, state = net_and_weights
+    path = tmp_path / "xplat.npz"
+    save_serving(path, net, params, state, batch=2,
+                 crf=CrfConfig(n_iters=1, color_step=2.5, splat_stride=4),
+                 platforms=("tpu", "cpu"))
+    art = load_serving(path)
+    assert art.meta["platforms"] == ["tpu", "cpu"]
+    imgs = _images(2, seed=13)
+    ref = Predictor(net, params, state,
+                    crf=CrfConfig(n_iters=1, color_step=2.5,
+                                  splat_stride=4))(imgs)
+    np.testing.assert_array_equal(art(imgs), ref)
