@@ -259,6 +259,10 @@ def cmd_serve(args):
         cfg = Config.load(args.config) if args.config else __default_cfg()
         seg, net = _build(cfg, load_weights=not args.weights,
                           weights=args.weights)
+        if not args.weights and not os.path.exists(seg.modelpath):
+            print(f"warning: no --weights and no checkpoint at "
+                  f"{seg.modelpath} — serving freshly-initialized "
+                  "(untrained) weights")
         use_crf = args.crf and cfg.crf.enabled   # same gate as cmd_predict
         pipeline = Predictor(
             net, seg.params, seg.state,

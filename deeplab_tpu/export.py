@@ -55,8 +55,11 @@ def build_serving_fn(net, crf: Optional[CrfConfig] = None,
     n = n_classes or getattr(net, "n_classes", 21)
 
     def pipeline(params, state, img):
+        # exported modules execute as single-device programs; shard_local
+        # lets the fused Pallas serving kernels engage on multi-chip hosts
         preds = net.predict_ids(params, state, img,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                shard_local=True)
         if crf is not None:
             preds = mean_field_batched(img, preds, crf, n)
         return preds

@@ -100,7 +100,12 @@ class Predictor:
                 return jnp.argmax(acc, axis=-1)
 
         def pipeline(params, state, img):
-            raw = model_preds(params, state, img)
+            # The no-mesh Predictor is a single-device program even on a
+            # multi-chip host (plain jit targets the default device), so
+            # the fused Pallas serving kernels can always engage here —
+            # shard_local=True bypasses their len(jax.devices())==1
+            # conservative fallback gate.
+            raw = model_preds(params, state, img, shard_local=True)
             preds = raw
             if crf is not None:
                 preds = mean_field_batched(img, raw, crf, self.n_classes)

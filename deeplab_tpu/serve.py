@@ -41,6 +41,13 @@ def _decode_bgr(data: bytes, size_wh) -> np.ndarray:
     return resize_bilinear(arr, size_wh).astype(np.float32)
 
 
+def _one_line(e: Exception, limit: int = 300) -> str:
+    """First line of an exception message (XLA errors are multi-line;
+    anything with CR/LF must never reach an HTTP status line)."""
+    text = f"{type(e).__name__}: {e}"
+    return text.splitlines()[0][:limit] if text else type(e).__name__
+
+
 def _encode_mask_png(mask: np.ndarray) -> bytes:
     from PIL import Image
     buf = io.BytesIO()
@@ -59,23 +66,29 @@ class _Dispatcher:
         self.q: queue.Queue = queue.Queue()
         self._stop = object()
         self._closed = False
+        # serializes the closed-check+enqueue against shutdown, so no item
+        # can land in the queue after the _stop sentinel (an unserviced
+        # enqueue would block its submit() forever)
+        self._lock = threading.Lock()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
     def submit(self, img: np.ndarray):
         """Blocking: returns this image's (H, W) mask."""
-        if self._closed:
-            raise RuntimeError("dispatcher is shut down")
         slot = {"event": threading.Event()}
-        self.q.put((img, slot))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("dispatcher is shut down")
+            self.q.put((img, slot))
         slot["event"].wait()
         if "error" in slot:
             raise slot["error"]
         return slot["mask"]
 
     def shutdown(self):
-        self._closed = True
-        self.q.put(self._stop)
+        with self._lock:
+            self._closed = True
+            self.q.put(self._stop)
         self.thread.join(timeout=5)
 
     def _gather(self):
@@ -152,6 +165,11 @@ class BatchingServer:
                  max_body_bytes: int = 64 << 20):
         self.sz = tuple(image_size)
         self.max_body = max_body_bytes
+        # a fixed-batch ServingArtifact rejects batches beyond its exported
+        # size — bound the gather so a full bucket can never exceed it
+        art_batch = getattr(pipeline, "batch", None)
+        if art_batch:
+            max_batch = min(max_batch, art_batch)
         self.meta = dict(meta or {})
         self.meta.update(image_size=list(self.sz), max_batch=max_batch,
                          max_wait_ms=max_wait_ms)
@@ -195,12 +213,16 @@ class BatchingServer:
                 try:
                     img = _decode_bgr(data, server.sz[::-1])
                 except Exception as e:
-                    self.send_error(400, f"undecodable image: {e}")
+                    # single-line reason: multi-line exception text would
+                    # corrupt the HTTP status line (CR/LF injection)
+                    self.send_error(400, "undecodable image",
+                                    explain=_one_line(e))
                     return
                 try:
                     mask = server.dispatcher.submit(img)
                 except Exception as e:
-                    self.send_error(500, f"inference failed: {e}")
+                    self.send_error(500, "inference failed",
+                                    explain=_one_line(e))
                     return
                 body = _encode_mask_png(mask)
                 self.send_response(200)

@@ -138,9 +138,18 @@ class Trainer:
                                                      n_classes),
             }
 
-        # Only ddp passes shard_local (keeps plain-apply models without the
-        # kwarg working on the default path).
-        extra = {"shard_local": True} if self.ddp else {}
+        # ddp runs per-device under shard_map; a 1-device mesh is likewise a
+        # single-device program even on a multi-chip host (a multi-chip
+        # process would otherwise disable the fused Pallas kernels via
+        # their len(jax.devices())==1 fallback gate).  Only these cases
+        # pass shard_local — and only to models that take the kwarg
+        # (plain-apply models without it keep working on the default path).
+        import inspect
+        takes_kw = "shard_local" in inspect.signature(
+            model.apply_logits if fused else model.apply).parameters
+        extra = ({"shard_local": True}
+                 if takes_kw and (self.ddp or self.mesh.devices.size == 1)
+                 else {})
         if fused:
             def forward(p, state, X, rng):
                 return model.apply_logits(p, state, X, training=True,

@@ -200,3 +200,43 @@ def test_oversized_and_bogus_content_length(server):
                  headers={"Content-Length": "0"})
     assert conn.getresponse().status == 400
     conn.close()
+
+
+def test_fixed_batch_pipeline_clamps_max_batch():
+    """A fixed-batch ServingArtifact-like pipeline bounds the gather: a
+    full bucket must never exceed what the artifact can execute."""
+    class FakeArt:
+        batch = 2
+
+        def __call__(self, b):
+            assert b.shape[0] <= 2
+            return _fake_pipeline(b)
+
+    srv = BatchingServer(FakeArt(), SZ, max_batch=8, max_wait_ms=1.0)
+    try:
+        assert srv.dispatcher.max_batch == 2
+        assert srv.meta["max_batch"] == 2
+    finally:
+        srv.stop()
+
+
+def test_multiline_device_error_yields_clean_500():
+    """Multi-line exception text (XLA-style) must not reach the HTTP
+    status line — the response stays parseable with a single-line reason."""
+    def boom(batch):
+        raise RuntimeError("device exploded\nlong traceback line\nmore")
+
+    srv = BatchingServer(boom, SZ, max_batch=2, max_wait_ms=1.0)
+    port = srv.start(port=0)
+    try:
+        data, _ = _jpeg_bytes(1)
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                     data=data, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 500
+        assert "\n" not in e.value.reason and "\r" not in e.value.reason
+        body = e.value.read().decode()
+        assert "device exploded" in body      # detail lives in the body
+    finally:
+        srv.stop()
