@@ -94,10 +94,49 @@ def cost(jitted, *args):
         return 0.0, 0.0
 
 
+def _load_prev():
+    """Per-metric values from the newest committed BENCH_r*.json driver
+    record, for the regression guard: every emitted stage carries
+    ``prev``/``delta_pct`` vs the previous round, and >10% regressions are
+    flagged so silent perf (or doc) drift is visible in the bench output."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                tail = json.load(f).get("tail", "")
+        except Exception:
+            continue
+        out = {}
+        for line in tail.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    r = json.loads(line)
+                    out[r["metric"]] = (float(r["value"]), r.get("unit"))
+                except Exception:
+                    pass
+        if out:
+            return out, os.path.basename(path)
+    return {}, None
+
+
+PREV_METRICS, PREV_SOURCE = _load_prev()
+
+
 def emit(name, value, unit, vs_baseline, **extra):
     rec = {"metric": name, "value": round(value, 2), "unit": unit,
            "vs_baseline": round(vs_baseline, 3)}
     rec.update(extra)
+    prev = PREV_METRICS.get(name)
+    if prev and prev[1] == unit and prev[0]:
+        delta = 100.0 * (value - prev[0]) / prev[0]
+        rec["prev"] = prev[0]
+        rec["delta_pct"] = round(delta, 1)
+        # lower-is-better for latency (ms); higher-is-better otherwise
+        if (delta > 10.0) if unit == "ms" else (delta < -10.0):
+            rec["regression"] = True
     print(json.dumps(rec))
 
 
