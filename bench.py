@@ -74,14 +74,25 @@ SZ = (512, 512)
 N_PX = SZ[0] * SZ[1]
 
 
-def timeit(fn, checksum, iters=ITERS, warmup=WARMUP):
+# BENCH_PROFILE=<dir>: after timing, capture a jax.profiler device trace of
+# 3 extra iterations of each stage into <dir>/<stage> (TensorBoard/Perfetto)
+PROFILE_DIR = os.environ.get("BENCH_PROFILE")
+
+
+def timeit(fn, checksum, iters=ITERS, warmup=WARMUP, profile=None):
     """Queue ``iters`` async dispatches, force them with one final fetch."""
     for _ in range(warmup):
         np.asarray(checksum(fn()))
     t0 = time.perf_counter()
     sums = [checksum(fn()) for _ in range(iters)]
     np.asarray(jnp.stack(sums)).sum()
-    return (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / iters
+    if PROFILE_DIR and profile:
+        jax.profiler.start_trace(os.path.join(PROFILE_DIR, profile))
+        sums = [checksum(fn()) for _ in range(3)]
+        np.asarray(jnp.stack(sums)).sum()
+        jax.profiler.stop_trace()
+    return dt
 
 
 def cost(jitted, *args):
@@ -241,7 +252,8 @@ def main():
         np.asarray(checksum(img[:1, :8, :8]))
 
     if "model" in STAGES:
-        dt = timeit(lambda: model_only(params, state, img), checksum)
+        dt = timeit(lambda: model_only(params, state, img), checksum,
+                    profile="model")
         fl, by = cost(model_only, params, state, img)
         from deeplab_tpu.kernels.fused_mbconv import pallas_available
         fused = pallas_available() and BACKBONE == "mobilenetv2"
@@ -253,14 +265,15 @@ def main():
         preds0 = model_only(params, state, img)
 
     if "crf" in STAGES:
-        dt = timeit(lambda: crf_only(img, preds0), checksum)
+        dt = timeit(lambda: crf_only(img, preds0), checksum, profile="crf")
         emit(tag("512x512 VOC dense-CRF only (5 iters, throughput cfg) "
                  "images/sec/chip"),
              BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP,
              golden_agreement=crf_agreement(crf_cfg))
 
     if "crf_ref" in STAGES:
-        dt = timeit(lambda: crf_only_ref(img, preds0), checksum)
+        dt = timeit(lambda: crf_only_ref(img, preds0), checksum,
+                    profile="crf_ref")
         emit(tag("512x512 VOC dense-CRF only (5 iters, reference-faithful "
                  "cfg) images/sec/chip"),
              BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP,
@@ -275,7 +288,7 @@ def main():
         # a synchronous fetch here would measure the tunnel, not the
         # framework).
         ms = timeit(lambda: infer(params, state, img1), checksum,
-                    iters=40) * 1e3
+                    iters=40, profile="latency") * 1e3
         emit(tag("512x512 VOC B=1 serving latency (model+CRF, device)"),
              ms, "ms", 4.0 / ms)
 
@@ -315,7 +328,8 @@ def main():
                 nonlocal_state[:] = [p, s, o]
                 return m["loss"]
 
-            dt = timeit(step, lambda x: x, iters=10)
+            dt = timeit(step, lambda x: x, iters=10,
+                        profile="finetune" if frozen else "train")
             emit(tag(label), bs / dt, "img/s/chip", (bs / dt) / baseline,
                  batch=bs, **util_fields(fl, by, dt, has_pallas=has_pallas))
 
@@ -357,7 +371,7 @@ def main():
             return mean_field_batched(im, pr, crf_cfg)
 
         ximg = img[:xbs]
-        dt = timeit(lambda: xinfer(xp, xs, ximg), checksum)
+        dt = timeit(lambda: xinfer(xp, xs, ximg), checksum, profile="xception")
         fl, by = cost(xinfer, xp, xs, ximg)
         emit("512x512 VOC inference+CRF [xception] images/sec/chip",
              xbs / dt, "img/s/chip", (xbs / dt) / BASELINE_PER_CHIP,
@@ -367,7 +381,8 @@ def main():
     # BENCH_STAGES subset that omits it (e.g. iterating on train only)
     # skips its compile + 20 timed iterations like any other stage
     if "headline" in STAGES:
-        dt = timeit(lambda: infer(params, state, img), checksum)
+        dt = timeit(lambda: infer(params, state, img), checksum,
+                    profile="headline")
         emit(tag("512x512 VOC inference+CRF images/sec/chip"),
              BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP)
 

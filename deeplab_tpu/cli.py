@@ -87,7 +87,7 @@ def cmd_train(args):
                       epsilon=t.epsilon, decay=t.decay,
                       freeze_before=freeze,
                       spatial=t.spatial, ddp=getattr(t, "ddp", False),
-                      seed=t.seed)
+                      seed=t.seed, profile_dir=args.profile_dir)
     if args.resume and not t.state_checkpoint:
         print("warning: --resume given but train.state_checkpoint is not "
               "configured; starting from epoch 0")
@@ -323,6 +323,10 @@ def main(argv=None):
                     help="resume full train state from state_checkpoint")
     pt.add_argument("--finetune", action="store_true", default=True)
     pt.add_argument("--no-finetune", dest="finetune", action="store_false")
+    pt.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler device trace of train "
+                         "steps 2-4 into this directory (TensorBoard/"
+                         "Perfetto)")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("evaluate", help="dataset confusion-matrix IoU")

@@ -62,3 +62,56 @@ def annotate(name: str):
     import jax
     with jax.profiler.TraceAnnotation(name):
         yield
+
+
+class StepWindowProfiler:
+    """Capture a jax.profiler device trace of train steps ``[start, stop)``.
+
+    Wired into ``Trainer.fit`` via ``Trainer(profile_dir=...)``: one command
+    reproduces the device traces the optimization notes describe (VERDICT
+    §5.1 — upstream has nothing; its only signal is the Keras progress bar,
+    reference utils.py:233-240).
+
+    The window edges block on the steps' outputs so queued async dispatches
+    from *other* steps don't leak into the trace; everything between the
+    edges stays fully asynchronous (the steady-state schedule being profiled).
+    """
+
+    def __init__(self, logdir: str, start: int = 2, stop: int = 5):
+        if stop <= start:
+            raise ValueError(f"profile window [{start}, {stop}) is empty")
+        self.logdir = logdir
+        self.start = start
+        self.stop = stop
+        self.active = False
+        self.done = False
+
+    def before_step(self, step: int, blockers=None):
+        """Call before dispatching ``step``; pass the previous step's
+        outputs as ``blockers`` so the trace starts from a drained queue."""
+        if self.done or self.active or step != self.start:
+            return
+        import jax
+        if blockers is not None:
+            jax.block_until_ready(blockers)
+        jax.profiler.start_trace(self.logdir)
+        self.active = True
+
+    def after_step(self, step: int, blockers=None):
+        """Call after dispatching ``step``; closes the window at stop-1."""
+        if not self.active or step != self.stop - 1:
+            return
+        import jax
+        if blockers is not None:
+            jax.block_until_ready(blockers)
+        jax.profiler.stop_trace()
+        self.active = False
+        self.done = True
+
+    def close(self):
+        """Stop a still-open trace (short epochs / early exceptions)."""
+        if self.active:
+            import jax
+            jax.profiler.stop_trace()
+            self.active = False
+            self.done = True

@@ -58,7 +58,8 @@ class Trainer:
                  verbose: int = 1, spatial: bool = False,
                  compute_dtype=None, eval_dtype=None, remat: bool = False,
                  workers: int = 1, use_multiprocessing: bool = False,
-                 ddp: bool = False):
+                 ddp: bool = False, profile_dir: Optional[str] = None,
+                 profile_steps: tuple = (2, 5)):
         self.model = model
         self.epochs = epochs
         self.callbacks = list(callbacks)
@@ -102,6 +103,11 @@ class Trainer:
         # use_multiprocessing forks an ordered worker pool.
         self.workers = workers
         self.use_multiprocessing = use_multiprocessing
+        # profile_dir: capture a jax.profiler device trace of global train
+        # steps [profile_steps[0], profile_steps[1]) into this directory
+        # (open with TensorBoard / Perfetto).  SURVEY §5.1.
+        self.profile_dir = profile_dir
+        self.profile_steps = tuple(profile_steps)
         self.verbose = verbose
         self.stop_training = False
         self.params = None
@@ -109,6 +115,7 @@ class Trainer:
         self.opt_state = None
         self._predict_fns = None
         self._predict_mesh = None  # mesh the cached predict jits target
+        self._profiler = None      # created per-fit from profile_dir
         for cb in self.callbacks:
             cb.set_trainer(self)
 
@@ -452,6 +459,11 @@ class Trainer:
         train_pipe = self._make_pipeline(train_gen)
         valid_pipe = (self._make_pipeline(valid_gen)
                       if valid_gen is not None else None)
+        self._profiler = None
+        if self.profile_dir is not None:
+            from deeplab_tpu.train.profiling import StepWindowProfiler
+            self._profiler = StepWindowProfiler(self.profile_dir,
+                                                *self.profile_steps)
         try:
             return self._fit_loop(train_gen, train_pipe, valid_gen,
                                   valid_pipe, initial_epoch, train_jit,
@@ -463,6 +475,9 @@ class Trainer:
             for pipe in (train_pipe, valid_pipe):
                 if pipe is not None and hasattr(pipe, "close"):
                     pipe.close()
+            if self._profiler is not None:
+                self._profiler.close()  # an exception inside the window
+                # must not leave jax.profiler tracing
 
     def _check_batch_divides(self, X):
         """Catch an indivisible batch (unknown generator type serving a
@@ -478,14 +493,21 @@ class Trainer:
     def _fit_loop(self, train_gen, train_pipe, valid_gen, valid_pipe,
                   initial_epoch, train_jit, eval_jit, base_rng, history,
                   data_sh, img_sh, step, state_checkpoint):
+        profiler = self._profiler
+        from deeplab_tpu.train.profiling import StepTimer
+        timer = StepTimer()
         for epoch in range(initial_epoch, self.epochs):
             t0 = time.time()
             sums, n_batches = {}, 0
             for X, Y, sw_dict in train_pipe:
                 SW = sw_dict["pred_mask"] if isinstance(sw_dict, dict) else sw_dict
                 self._check_batch_divides(X)
+                if profiler is not None:
+                    profiler.before_step(step, blockers=sums)
+                timer.start()
                 # host numpy -> per-shard transfer in one hop (jnp.asarray
                 # first would land the whole batch on one device and reshard)
+                items = X.shape[0]
                 X = jax.device_put(np.asarray(X), img_sh)
                 Y = jax.device_put(np.asarray(Y), data_sh)
                 SW = jax.device_put(np.asarray(SW), data_sh)
@@ -497,6 +519,9 @@ class Trainer:
                 # step and serialize augmentation with the device step
                 for k, v in metrics.items():
                     sums[k] = sums.get(k, 0.0) + v
+                timer.stop(items)
+                if profiler is not None:
+                    profiler.after_step(step, blockers=metrics)
                 n_batches += 1
                 step += 1
             logs = {k: float(v) / max(n_batches, 1) for k, v in sums.items()}
@@ -521,8 +546,10 @@ class Trainer:
                 history.setdefault(k, []).append(v)
             if self.verbose:
                 msg = " - ".join(f"{k}: {v:.4f}" for k, v in logs.items())
+                # dispatch-side step timing (device steps run async; the
+                # aggregate items/s over the window is the true rate)
                 print(f"Epoch {epoch + 1}/{self.epochs} "
-                      f"({time.time() - t0:.1f}s) - {msg}")
+                      f"({time.time() - t0:.1f}s, {timer.summary()}) - {msg}")
 
             train_gen.on_epoch_end()
             for cb in self.callbacks:

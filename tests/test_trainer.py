@@ -296,3 +296,37 @@ def test_model_checkpoint_unconditional_save(tmp_path):
     tr.fit(params, state, FakeGen())   # no valid_gen -> no val_Jaccard
     import os
     assert os.path.exists(path)
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """Trainer(profile_dir=...) captures a jax.profiler trace of the
+    configured step window (SURVEY §5.1 shipped as a feature)."""
+    import os
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    logdir = str(tmp_path / "trace")
+    tr = Trainer(model, epochs=2, lr=1e-2, verbose=0,
+                 profile_dir=logdir, profile_steps=(1, 3))
+    tr.fit(params, state, FakeGen(), None)
+    assert tr._profiler is not None and tr._profiler.done
+    assert not tr._profiler.active
+    # jax writes plugins/profile/<ts>/*.trace.json.gz (+ .xplane.pb)
+    found = [os.path.join(r, f) for r, _, fs in os.walk(logdir) for f in fs]
+    assert found, "no trace files written"
+
+
+def test_step_window_profiler_close_recovers():
+    """A window that never reaches its stop step is closed by fit()."""
+    from deeplab_tpu.train.profiling import StepWindowProfiler
+    model = TinySegNet()
+    params, state = model.init(jax.random.key(0))
+    tr = Trainer(model, epochs=1, lr=1e-2, verbose=0,
+                 profile_dir=None)
+    # window starts at step 1 but the run has only 2 steps and stop=99
+    tr.profile_dir = "/tmp/_unused_trace_dir"
+    tr.profile_steps = (1, 99)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        tr.profile_dir = d
+        tr.fit(params, state, FakeGen(), None)
+        assert tr._profiler.done and not tr._profiler.active
