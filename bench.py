@@ -62,7 +62,8 @@ BATCH = int(os.environ.get("BENCH_BATCH",
                            "64" if BACKBONE == "mobilenetv2" else "16"))
 STAGES = set(os.environ.get(
     "BENCH_STAGES",
-    "model,crf,crf_ref,latency,train,finetune,xception,headline").split(","))
+    "model,crf,crf_ref,latency,train,finetune,xception,miou,headline"
+    ).split(","))
 WARMUP = 3
 ITERS = 20
 BASELINE_PER_CHIP = 2000.0 / 8.0   # v5e-8 target split per chip
@@ -376,6 +377,21 @@ def main():
         emit("512x512 VOC inference+CRF [xception] images/sec/chip",
              xbs / dt, "img/s/chip", (xbs / dt) / BASELINE_PER_CHIP,
              **util_fields(fl, by, dt))
+
+    if "miou" in STAGES and BACKBONE == "mobilenetv2" and NET == "original":
+        # quality stage (VERDICT r3 #2): grade the production serving stack
+        # (bf16 + fused kernels + throughput CRF) against the f32/XLA/
+        # faithful-CRF parity stack in the baseline's own mIoU units
+        # (published metric, notebook cells 10-11) on the committed
+        # real-photo dataset with committed trained weights
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from grade_production import grade
+        rec = grade()
+        worst = max(abs(rec["delta_published_pt"]), abs(rec["delta_std_pt"]))
+        emit("production-vs-parity mIoU delta (mini_voc, published metric)",
+             worst, "pt", min(0.1 / max(worst, 1e-6), 99.0), **rec)
 
     # HEADLINE — in the default stage set and always the LAST line; a
     # BENCH_STAGES subset that omits it (e.g. iterating on train only)
