@@ -10,11 +10,18 @@ target implies.
 Stages (one JSON line each; the HEADLINE — model + 5-iteration dense CRF —
 is ALWAYS the last line):
   - inference (model only), bf16 argmax path
-  - dense-CRF only, throughput config (color_step=2.5, splat_stride=4)
-  - dense-CRF only, reference-faithful default (color_step=1,
-    splat_stride=1 — the exact pydensecrf parameter mirror, utils.py:78-86)
-    Both CRF stages report MAP agreement with the committed exact-oracle
+  - dense-CRF only, throughput config (THROUGHPUT_CONFIG: color_step=2.5,
+    splat_stride=4, lsq taps)
+  - dense-CRF only, fast-faithful config (FAST_FAITHFUL_CONFIG: the exact
+    reference kernel parameters on an nnls-optimized color quadrature —
+    oracle agreement >= the parameter mirror's on every committed golden)
+  - dense-CRF only, reference parameter mirror (color_step=1,
+    splat_stride=1, gaussian taps — the literal pydensecrf grid,
+    utils.py:78-86)
+    All CRF stages report MAP agreement with the committed exact-oracle
     goldens (tests/goldens/crf).
+  - model + fast-faithful CRF end-to-end (the reference-quality serving
+    path)
   - B=1 serving latency (model + CRF, single image)
   - training, full network bf16 (bs=96; uses the fused train kernels on
     TPU) and frozen fine-tune bf16 (bs=32, freeze before
@@ -62,8 +69,8 @@ BATCH = int(os.environ.get("BENCH_BATCH",
                            "64" if BACKBONE == "mobilenetv2" else "16"))
 STAGES = set(os.environ.get(
     "BENCH_STAGES",
-    "model,crf,crf_ref,latency,train,finetune,xception,miou,headline"
-    ).split(","))
+    "model,crf,crf_fast,crf_ref,latency,train,finetune,xception,miou,"
+    "faithful,headline").split(","))
 WARMUP = 3
 ITERS = 20
 BASELINE_PER_CHIP = 2000.0 / 8.0   # v5e-8 target split per chip
@@ -208,13 +215,16 @@ def main():
     model = SegNet(SZ, 21, BACKBONE, NET)
     params, state = model.init(jax.random.key(0))
 
-    from deeplab_tpu.crf import CrfConfig, mean_field_batched
-    # throughput config: color grid at 2.5 sigma, splat subsampled 4x
-    # (>=99.0% MAP agreement with the exact mean-field oracle on every
-    # committed 21-label golden scene, both backends; see
-    # tests/test_crf_goldens.py::test_headline_config_matches_oracle)
-    crf_cfg = CrfConfig(color_step=2.5, splat_stride=4)
-    # reference-faithful default: the exact pydensecrf parameter mirror
+    from deeplab_tpu.crf import (FAST_FAITHFUL_CONFIG, THROUGHPUT_CONFIG,
+                                 CrfConfig, mean_field_batched)
+    # throughput config: coarse color grid, splat subsampled 4x (>=99.3%
+    # oracle MAP agreement on every committed golden; see
+    # tests/test_crf_goldens.py)
+    crf_cfg = THROUGHPUT_CONFIG
+    # fast-faithful: reference kernel parameters, nnls-optimized quadrature
+    # (agreement >= the parameter mirror on every committed golden)
+    crf_fast_cfg = FAST_FAITHFUL_CONFIG
+    # the literal pydensecrf grid mirror (color_step=1, gaussian taps)
     crf_ref_cfg = CrfConfig()
 
     @jax.jit
@@ -232,8 +242,17 @@ def main():
         return mean_field_batched(img, preds, crf_cfg)
 
     @jax.jit
+    def crf_only_fast(img, preds):
+        return mean_field_batched(img, preds, crf_fast_cfg)
+
+    @jax.jit
     def crf_only_ref(img, preds):
         return mean_field_batched(img, preds, crf_ref_cfg)
+
+    @jax.jit
+    def infer_faithful(params, state, img):
+        preds = model_only(params, state, img)
+        return mean_field_batched(img, preds, crf_fast_cfg)
 
     @jax.jit
     def infer(params, state, img):
@@ -262,7 +281,7 @@ def main():
              BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP,
              **util_fields(fl, by, dt, has_pallas=fused))
 
-    if {"crf", "crf_ref"} & STAGES:
+    if {"crf", "crf_fast", "crf_ref"} & STAGES:
         preds0 = model_only(params, state, img)
 
     if "crf" in STAGES:
@@ -272,6 +291,14 @@ def main():
              BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP,
              golden_agreement=crf_agreement(crf_cfg))
 
+    if "crf_fast" in STAGES:
+        dt = timeit(lambda: crf_only_fast(img, preds0), checksum,
+                    profile="crf_fast")
+        emit(tag("512x512 VOC dense-CRF only (5 iters, fast-faithful cfg) "
+                 "images/sec/chip"),
+             BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP,
+             golden_agreement=crf_agreement(crf_fast_cfg))
+
     if "crf_ref" in STAGES:
         dt = timeit(lambda: crf_only_ref(img, preds0), checksum,
                     profile="crf_ref")
@@ -279,6 +306,14 @@ def main():
                  "cfg) images/sec/chip"),
              BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP,
              golden_agreement=crf_agreement(crf_ref_cfg))
+
+    if "faithful" in STAGES:
+        dt = timeit(lambda: infer_faithful(params, state, img), checksum,
+                    profile="faithful")
+        emit(tag("512x512 VOC inference+CRF (fast-faithful cfg) "
+                 "images/sec/chip"),
+             BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP,
+             golden_agreement=crf_agreement(crf_fast_cfg))
 
     if "latency" in STAGES:
         img1 = img[:1]

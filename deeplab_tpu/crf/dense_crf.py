@@ -49,6 +49,17 @@ class CrfConfig:
     # rescaled to keep physical extents) and upsample the refined mask.
     # s=1 is the reference-faithful default.
     resolution_scale: int = 1
+    # Color-blur quadrature: "gaussian" samples the Gaussian at the grid
+    # offsets (the classic bilateral grid); "lsq" solves for the
+    # least-squares-optimal symmetric band taps of the effective kernel
+    # hat(x)^T B hat(y) ~ exp(-(x-y)^2 / 2 srgb^2) over [0, 255]^2 — a
+    # strictly better quadrature of the SAME reference kernel
+    # (utils.py:85's srgb) at the same cost, which lets a coarser grid
+    # (fewer bins -> smaller splat/slice matmuls) match or beat the
+    # step-1 gaussian grid's oracle agreement.  Measured on the committed
+    # exact-oracle goldens (tests/test_crf_goldens.py).
+    color_taps: str = "gaussian"
+    color_taps_radius: int = 2
     # Bilateral filter backend: "auto" picks the fused Pallas kernels on TPU
     # (kernels/crf_fused.py) and the XLA formulation elsewhere; "xla" /
     # "pallas" force one (pallas off-TPU runs in interpret mode — tests only).
@@ -59,6 +70,9 @@ class CrfConfig:
             raise ValueError(
                 f"backend must be 'auto', 'xla' or 'pallas', "
                 f"got {self.backend!r}")
+        if self.color_taps not in ("gaussian", "lsq", "nnls"):
+            raise ValueError(f"color_taps must be 'gaussian', 'lsq' or "
+                             f"'nnls', got {self.color_taps!r}")
 
 
 def unary_from_labels(labels: jnp.ndarray, n_labels: int, gt_prob: float,
@@ -153,6 +167,66 @@ def _blur_taps(step: float = 1.0) -> np.ndarray:
     return np.exp(-0.5 * (d * step) ** 2).astype(np.float32)
 
 
+_LSQ_TAPS_CACHE = {}
+
+
+def color_band_taps(step: float, mode: str = "gaussian", radius: int = 2,
+                    range_sigmas: float = 255.0 / 13.0) -> np.ndarray:
+    """Symmetric band taps of the color blur matrix B (grid step ``step``
+    kernel sigmas, value range ``range_sigmas`` sigmas).
+
+    ``gaussian``: B samples exp(-0.5 (k step)^2) at integer bin offsets —
+    the classic bilateral grid (Paris & Durand).  ``lsq``: the
+    least-squares-optimal Toeplitz band minimizing
+    || exp(-(x-y)^2/2) - hat(x)^T B hat(y) ||_F over the value range —
+    the same 2-tap hat basis and kernel shapes, strictly better kernel
+    quadrature per bin.  Measured on [0,255]/srgb=13: relF error 0.127
+    (gaussian, step 1, nc=21) vs 0.115 (lsq, step 1.346, nc=16) — i.e. a
+    24% smaller grid axis with BETTER kernel fidelity, which cuts the
+    splat/slice matmul cost (D x C ~ nc^3) ~2.7x.  Oracle MAP agreement
+    is pinned by tests/test_crf_goldens.py."""
+    if mode == "gaussian":
+        return _blur_taps(step)
+    key = (mode, round(float(step), 6), int(radius),
+           round(float(range_sigmas), 4))
+    if key not in _LSQ_TAPS_CACHE:
+        R, h = float(range_sigmas), float(step)
+        nc = int(math.floor(R / h)) + 2
+        xs = np.linspace(0.0, R, 768)
+        c = xs[:, None] / h - np.arange(nc)[None, :]
+        P = np.maximum(0.0, 1.0 - np.abs(c))               # hat factors
+        K = np.exp(-0.5 * (xs[:, None] - xs[None, :]) ** 2)
+        feats = []
+        for k in range(radius + 1):
+            Bk = np.zeros((nc, nc))
+            idx = np.arange(0, nc - k)
+            Bk[idx, idx + k] = 1.0
+            if k:
+                Bk[idx + k, idx] = 1.0
+            feats.append(P @ Bk @ P.T)
+        A = np.stack([f.ravel() for f in feats], axis=1)
+        if mode == "nnls":
+            # nonnegativity keeps the effective kernel >= 0 everywhere
+            # (qualitatively Gaussian — no repulsive side lobes that could
+            # flip bistable mean-field regions); costs ~3% fit error vs
+            # unconstrained lsq, still far below the gaussian sampling
+            from scipy.optimize import nnls as _nnls
+            t, _ = _nnls(A, K.ravel())
+        else:
+            t, *_ = np.linalg.lstsq(A, K.ravel(), rcond=None)
+        taps = np.zeros(2 * radius + 1, np.float32)
+        taps[radius] = t[0]
+        for k in range(1, radius + 1):
+            taps[radius - k] = taps[radius + k] = t[k]
+        _LSQ_TAPS_CACHE[key] = taps
+    return _LSQ_TAPS_CACHE[key]
+
+
+def _cfg_color_taps(cfg: "CrfConfig") -> np.ndarray:
+    return color_band_taps(cfg.color_step, cfg.color_taps,
+                           cfg.color_taps_radius, 255.0 / cfg.srgb)
+
+
 def _pad_to_cells(x: jnp.ndarray, cs: int):
     h, w = x.shape[:2]
     ph, pw = (-h) % cs, (-w) % cs
@@ -169,7 +243,8 @@ class _BilateralPlan:
     the expensive pixel-space tensors)."""
 
     def __init__(self, im, sxy: float, srgb: float, color_step: float,
-                 splat_stride: int = 1):
+                 splat_stride: int = 1, ctaps=None):
+        self.ctaps = ctaps if ctaps is not None else _blur_taps(color_step)
         h, w, _ = im.shape
         self.h, self.w = h, w
         self.cs = cs = max(int(round(sxy)), 1)
@@ -209,7 +284,7 @@ class _BilateralPlan:
             self.t_rg_sub, self.ab_sub = self.t_rg, ab
         self._ab_tile_cache = {}
         self.S = _kron_band(self.ny, self.nx, 1.0)            # (Z, Z)
-        self.Brg = _kron_band(nc, nc, color_step)             # (c, c)
+        self.Brg = _kron_band(nc, nc, color_step, self.ctaps)  # (c, c)
 
     def ab_tile(self, L: int):
         if L not in self._ab_tile_cache:
@@ -257,7 +332,8 @@ class _BilateralPlan:
 
         # separable Gaussian blur as three flat matmuls (Kronecker bands)
         BLb = jnp.asarray(np.kron(np.eye(L, dtype=np.float32),
-                                  _band_matrix_np(nc, self.color_step)))
+                                  _band_matrix_np(nc, self.color_step,
+                                                  self.ctaps)))
         G = jnp.einsum("zcd,zZ->Zcd", G, self.S)
         G = jnp.einsum("zcd,cC->zCd", G, self.Brg)
         G = jnp.einsum("zcd,dD->zcD", G, BLb).astype(bf)
@@ -290,8 +366,9 @@ class _PallasPlan:
     """
 
     def __init__(self, imgs, sxy: float, srgb: float, color_step: float,
-                 splat_stride: int = 1):
+                 splat_stride: int = 1, ctaps=None):
         from deeplab_tpu.kernels.crf_fused import pallas_available
+        ctaps = ctaps if ctaps is not None else _blur_taps(color_step)
         B, h, w, _ = imgs.shape
         self.B, self.h, self.w = B, h, w
         cs = max(int(round(sxy)), 1)
@@ -328,11 +405,10 @@ class _PallasPlan:
         from deeplab_tpu.kernels.crf_fused import _c_pad
         C, Cp = nc * nc, _c_pad(nc)
         brg = np.zeros((Cp, Cp), np.float32)
-        brg[:C, :C] = np.kron(_band_matrix_np(nc, color_step),
-                              _band_matrix_np(nc, color_step))
+        brg[:C, :C] = np.kron(_band_matrix_np(nc, color_step, ctaps),
+                              _band_matrix_np(nc, color_step, ctaps))
         self.Brg = jnp.asarray(brg)                 # (C_pad, C_pad), 0-tail
-        taps = _blur_taps(color_step)
-        self.bb_taps = tuple(float(t) for t in taps)
+        self.bb_taps = tuple(float(t) for t in ctaps)
         self.interpret = not pallas_available()
 
     # ---- layout transforms: (B, ch, H, W) <-> (B*Z, ch, P) ----
@@ -460,6 +536,28 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
     # HBM traffic of every transform/elementwise pass); all kernel-internal
     # arithmetic and the normalization terms stay f32
     bf = jnp.bfloat16
+    # Keep the splat kernel's factor tensors ((D + 2C) x chunk bf16) inside
+    # VMEM: a single-chunk nc>=13 splat spills and measured 3.3x slower
+    # (97 -> 30 TF/s on v5e).  Chunked grids accumulate across chunks in an
+    # f32 kernel scratch and still emit bf16 directly (crf_fused.
+    # _splat_kernel), so every config gets the half-width grid through the
+    # z-blur + slice.  chunk must divide P exactly; odd P (small odd cells
+    # from a small sigma) can't halve — those planes are tiny and fit.
+    from deeplab_tpu.kernels.crf_fused import _c_pad, _d_pad
+
+    def _splat_chunk(P_v, Lv):
+        budget = 12 << 20
+        chunk = P_v
+        while ((_d_pad(plan.nc, Lv) + 2 * _c_pad(plan.nc)) * chunk * 2
+               > budget) and chunk % 2 == 0:
+            chunk //= 2
+        return chunk
+
+    def _splat_q(a, v):
+        return splat_planes(a, v, nc=plan.nc, L=L, inv_step=plan.inv_step,
+                            chunk=_splat_chunk(v.shape[-1], L),
+                            out_dtype=bf, interpret=plan.interpret)
+
     # Norm pass: splat the valid mask, cross-cell-blur it, then ONE fused
     # kernel slices it and emits the packed attrs planes (b_self, b_norm,
     # b_scale, unary softmax all in closed form per pixel) + the initial Q
@@ -467,12 +565,18 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
     # the first iteration is materialized by XLA (the 6-tensor concat and
     # its five (B*Z, 1, P) 8x-sublane-padded inputs profiled ~0.15 ms/img).
     if plan.stride > 1:
-        Gn = splat_planes(plan.rgb_sub, plan.subsample(valid, 1), None,
+        v_sub = plan.subsample(valid, 1)
+        Gn = splat_planes(plan.rgb_sub, v_sub, None,
                           nc=plan.nc, L=1, inv_step=plan.inv_step,
+                          chunk=_splat_chunk(v_sub.shape[-1], 1),
                           interpret=plan.interpret) * float(plan.stride ** 2)
     else:
         Gn = splat_planes(plan.rgb, valid, None, nc=plan.nc, L=1,
-                          inv_step=plan.inv_step, interpret=plan.interpret)
+                          inv_step=plan.inv_step,
+                          chunk=_splat_chunk(plan.P, 1),
+                          interpret=plan.interpret)
+    # (norm splat stays f32-out — the rsqrt(ksum - b_self) cancellation
+    # needs exact accumulation; chunked f32 accumulates in-out)
     Gn = plan.z_blur(Gn)  # f32: bf16 cancellation in (ksum - b_self)
     # would explode the rsqrt for pixels with no similar neighbors
     lab_i = (labels_c if labels_c is not None
@@ -494,28 +598,6 @@ def _mean_field_planes(plan: _PallasPlan, cfg: "CrfConfig", n_labels: int,
     else:
         attrs_sub, Q0_sub = attrs, None
     unary_b = None if unary_c is None else unary_c.astype(bf)
-
-    # Large color grids (reference-faithful color_step=1 -> nc ~ 21, i.e.
-    # (448, 512) padded grid blocks) push the splat kernel's in-VMEM
-    # hat-factor scratch past the 16 MB scoped limit at chunk=P.  Split
-    # the pixel axis for those; cross-chunk accumulation forces the f32
-    # grid (the direct-bf16 write needs a single chunk).  The headline
-    # grid (nc=9) keeps the single-chunk bf16 fast path unchanged.
-    big_grid = plan.nc > 16
-
-    def _splat_q(a, v):
-        if big_grid:
-            # chunk must divide P exactly; odd P (small odd cells from a
-            # small sigma) can't halve — but those planes are tiny, so
-            # the single-chunk kernel fits VMEM anyway
-            P_v = v.shape[-1]
-            chunk = P_v // 2 if P_v % 2 == 0 else P_v
-            return splat_planes(a, v, nc=plan.nc, L=L,
-                                inv_step=plan.inv_step,
-                                chunk=chunk,
-                                interpret=plan.interpret)
-        return splat_planes(a, v, nc=plan.nc, L=L, inv_step=plan.inv_step,
-                            out_dtype=bf, interpret=plan.interpret)
 
     def body(Q, Q_sub, last=False):
         # spatial message: blur(Q * g_norm), multiply in the blur kernel;
@@ -581,11 +663,13 @@ def bilateral_filter(im: jnp.ndarray, values: jnp.ndarray, sxy: float,
 _BAND_NP_CACHE = {}
 
 
-def _band_matrix_np(n: int, step: float = 1.0) -> np.ndarray:
-    """(n, n) banded Gaussian blur matrix with grid step ``step`` sigmas."""
-    key = (n, step)
+def _band_matrix_np(n: int, step: float = 1.0, taps=None) -> np.ndarray:
+    """(n, n) banded blur matrix with grid step ``step`` sigmas; ``taps``
+    overrides the Gaussian-sampled band (see ``color_band_taps``)."""
+    key = (n, step) if taps is None else (n, step, taps.tobytes())
     if key not in _BAND_NP_CACHE:
-        taps = _blur_taps(step)
+        if taps is None:
+            taps = _blur_taps(step)
         radius = len(taps) // 2
         m = np.zeros((n, n), np.float32)
         for offset, wgt in zip(range(-radius, radius + 1), taps):
@@ -595,20 +679,23 @@ def _band_matrix_np(n: int, step: float = 1.0) -> np.ndarray:
     return _BAND_NP_CACHE[key]
 
 
-def _kron_band(n1: int, n2: int, step: float = 1.0) -> jnp.ndarray:
-    return jnp.asarray(np.kron(_band_matrix_np(n1, step),
-                               _band_matrix_np(n2, step)))
+def _kron_band(n1: int, n2: int, step: float = 1.0, taps=None
+               ) -> jnp.ndarray:
+    return jnp.asarray(np.kron(_band_matrix_np(n1, step, taps),
+                               _band_matrix_np(n2, step, taps)))
 
 
 def bilateral_self_weight(im: jnp.ndarray, sxy: float, srgb: float,
-                          color_step: float = 1.0) -> jnp.ndarray:
+                          color_step: float = 1.0, ctaps=None) -> jnp.ndarray:
     """Closed-form per-pixel self-weight of the box-cell splat/blur/slice
     kernel: spatial part contributes B(0)^2 == 1 (same cell, center blur
-    tap); each color dim contributes (s0^2+s1^2) B(0) + 2 s0 s1 B(1)."""
+    tap); each color dim contributes (s0^2+s1^2) B(0) + 2 s0 s1 B(1) —
+    a pixel's two hat taps only span blur offsets 0 and 1, so the form
+    holds for any taps radius."""
     coords = (im.astype(jnp.float32) / (srgb * color_step)).reshape(-1, 3)
     frac = coords - jnp.floor(coords)
     s0, s1 = 1.0 - frac, frac
-    taps = _blur_taps(color_step)
+    taps = ctaps if ctaps is not None else _blur_taps(color_step)
     b0, b1 = float(taps[len(taps) // 2]), float(taps[len(taps) // 2 + 1])
     per_dim = (s0 ** 2 + s1 ** 2) * b0 + 2.0 * s0 * s1 * b1
     return jnp.prod(per_dim, axis=1)  # (N,)
@@ -662,7 +749,8 @@ def mean_field(im: jnp.ndarray, unary: jnp.ndarray, cfg: CrfConfig,
         return Q.reshape(-1, n_labels)
     if _use_pallas(cfg):
         plan = _PallasPlan(im[None], cfg.sxy_bilateral, cfg.srgb,
-                           cfg.color_step, cfg.splat_stride)
+                           cfg.color_step, cfg.splat_stride,
+                           ctaps=_cfg_color_taps(cfg))
         u_img = jnp.moveaxis(unary.reshape(h, w, n_labels), -1, 0)[None]
         Qc = _mean_field_planes(plan, cfg, n_labels,
                                 unary_c=plan.cells_v(u_img))
@@ -672,9 +760,10 @@ def mean_field(im: jnp.ndarray, unary: jnp.ndarray, cfg: CrfConfig,
     # One bilateral plan per image: the image-derived precomputation is
     # V-independent and shared by the norm pass + all 5 iterations.
     plan = _BilateralPlan(im, cfg.sxy_bilateral, cfg.srgb, cfg.color_step,
-                          cfg.splat_stride)
+                          cfg.splat_stride, ctaps=_cfg_color_taps(cfg))
     b_self = bilateral_self_weight(im, cfg.sxy_bilateral, cfg.srgb,
-                                   cfg.color_step)[:, None]
+                                   cfg.color_step,
+                                   ctaps=_cfg_color_taps(cfg))[:, None]
     ones = jnp.ones((h * w, 1), jnp.float32)
     ksum = plan.apply(ones) - b_self
     # with a subsampled splat the KDE can miss an off-lattice pixel's own
@@ -737,7 +826,8 @@ def mean_field_batched(imgs: jnp.ndarray, masks: jnp.ndarray,
             out = jnp.repeat(jnp.repeat(out_s, s, axis=1), s, axis=2)
             return out[:, :H, :W]
         plan = _PallasPlan(imgs.astype(jnp.float32), cfg.sxy_bilateral,
-                           cfg.srgb, cfg.color_step, cfg.splat_stride)
+                           cfg.srgb, cfg.color_step, cfg.splat_stride,
+                           ctaps=_cfg_color_taps(cfg))
         labels_c = plan.cells_v(masks[:, None].astype(jnp.int32))
         Q = _mean_field_planes(plan, cfg, n_labels, labels_c=labels_c)
         pred_c = jnp.argmax(Q, axis=1, keepdims=True)    # (B*Z, 1, P)

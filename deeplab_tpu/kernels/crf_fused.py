@@ -113,7 +113,7 @@ def _b_weight(bb, fb, b: int):
     return jnp.maximum(1.0 - jnp.abs(coord - b), 0.0)
 
 
-def _splat_kernel(rgb_ref, v_ref, out_ref, *, nc, L, inv_step,
+def _splat_kernel(rgb_ref, v_ref, out_ref, acc_ref=None, *, nc, L, inv_step,
                   n_ref=None, packed_scale=False):
     k = pl.program_id(1)
     t_rg = _t_rg_row(rgb_ref, inv_step, nc).astype(jnp.bfloat16)  # (C, CHUNK)
@@ -137,14 +137,34 @@ def _splat_kernel(rgb_ref, v_ref, out_ref, *, nc, L, inv_step,
             [contrib, jnp.zeros((d_pad, contrib.shape[1]), contrib.dtype)],
             axis=0)
 
+    if acc_ref is not None:
+        # chunked bf16 grid: accumulate chunks in a persistent f32 VMEM
+        # scratch and emit the half-width grid once on the last chunk —
+        # chunking is what keeps the (D + 2C, CHUNK) factor tensors inside
+        # VMEM (a single-chunk nc>=13 splat spills and measured 3.3x
+        # slower), and scratch accumulation is what keeps the output bf16
+        # without a separate astype pass over the grid
+        @pl.when(k == 0)
+        def _():
+            acc_ref[...] = contrib
+
+        @pl.when(k != 0)
+        def _():
+            acc_ref[...] += contrib
+
+        @pl.when(k == pl.num_programs(1) - 1)
+        def _():
+            out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+        return
+
     @pl.when(k == 0)
     def _():
         out_ref[0] = contrib.astype(out_ref.dtype)
 
     @pl.when(k != 0)
     def _():
-        # cross-chunk accumulation (f32 outputs only — the wrapper asserts
-        # a bf16 grid is single-chunk)
+        # cross-chunk accumulation (f32 outputs only — the wrapper routes
+        # chunked bf16 grids through the scratch accumulator above)
         out_ref[0] += contrib.astype(out_ref.dtype)
 
 
@@ -645,10 +665,14 @@ def splat_planes(rgb, values, scale=None, *, nc: int, L: int,
     half width directly, saving the downstream astype pass."""
     Z, rows, P = rgb.shape
     chunk = chunk or P
-    assert out_dtype == jnp.float32 or chunk == P, (out_dtype, chunk, P)
     assert P % chunk == 0, (P, chunk)
     assert nc >= 255.0 * inv_step + 1, (nc, inv_step)  # hat-pad invariant
     packed = rows == ATTR_ROWS
+    # chunked low-precision grids accumulate in an f32 VMEM scratch and
+    # write once (see _splat_kernel); in-out accumulation stays f32-exact
+    scratch = chunk != P and out_dtype != jnp.float32
+    scratch_shapes = ([pltpu.VMEM((_d_pad(nc, L), _c_pad(nc)), jnp.float32)]
+                      if scratch else [])
     out_spec = pl.BlockSpec((1, _d_pad(nc, L), _c_pad(nc)),
                             lambda z, k: (z, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -656,16 +680,20 @@ def splat_planes(rgb, values, scale=None, *, nc: int, L: int,
                          memory_space=pltpu.VMEM)
     if packed:
         assert scale is None
-        kern = functools.partial(_splat_kernel, nc=nc, L=L,
-                                 inv_step=inv_step, packed_scale=True)
+
+        def kern(rgb_ref, v_ref, out_ref, *acc):
+            _splat_kernel(rgb_ref, v_ref, out_ref,
+                          acc[0] if scratch else None, nc=nc, L=L,
+                          inv_step=inv_step, packed_scale=True)
         in_specs = [_rgb_spec(chunk, ATTR_ROWS), vspec]
         operands = [rgb, values]
     else:
         if scale is None:
             scale = jnp.ones((Z, 1, P), jnp.float32)
 
-        def kern(rgb_ref, v_ref, n_ref, out_ref):
-            _splat_kernel(rgb_ref, v_ref, out_ref, nc=nc, L=L,
+        def kern(rgb_ref, v_ref, n_ref, out_ref, *acc):
+            _splat_kernel(rgb_ref, v_ref, out_ref,
+                          acc[0] if scratch else None, nc=nc, L=L,
                           inv_step=inv_step, n_ref=n_ref)
         in_specs = [_rgb_spec(chunk), vspec,
                     pl.BlockSpec((1, 1, chunk), lambda z, k: (z, 0, k),
@@ -678,6 +706,7 @@ def splat_planes(rgb, values, scale=None, *, nc: int, L: int,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((Z, _d_pad(nc, L), _c_pad(nc)),
                                        out_dtype),
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
