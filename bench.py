@@ -415,18 +415,22 @@ def main():
 
     if "miou" in STAGES and BACKBONE == "mobilenetv2" and NET == "original":
         # quality stage (VERDICT r3 #2): grade the production serving stack
-        # (bf16 + fused kernels + throughput CRF) against the f32/XLA/
-        # faithful-CRF parity stack in the baseline's own mIoU units
-        # (published metric, notebook cells 10-11) on the committed
-        # real-photo dataset with committed trained weights
+        # ("mixed" model policy + crf.PRODUCTION_CONFIG) against the
+        # f32/XLA/faithful-CRF parity stack in the baseline's own mIoU
+        # units (published metric, notebook cells 10-11) on the committed
+        # real-photo dataset with committed trained weights.  Criterion is
+        # the quality FLOOR: production may not score >0.1 pt BELOW parity
+        # (positive deltas are production >= parity; at 20 images the CRF
+        # stage carries ~+/-0.2 pt of noise in both signs).
         import sys
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "tools"))
         from grade_production import grade
         rec = grade()
-        worst = max(abs(rec["delta_published_pt"]), abs(rec["delta_std_pt"]))
-        emit("production-vs-parity mIoU delta (mini_voc, published metric)",
-             worst, "pt", min(0.1 / max(worst, 1e-6), 99.0), **rec)
+        shortfall = max(-rec["delta_published_pt"], -rec["delta_std_pt"], 0.0)
+        emit("production-vs-parity mIoU shortfall (mini_voc, published "
+             "metric)", shortfall, "pt",
+             min(0.1 / max(shortfall, 1e-6), 99.0), **rec)
 
     # HEADLINE — in the default stage set and always the LAST line; a
     # BENCH_STAGES subset that omits it (e.g. iterating on train only)

@@ -139,6 +139,16 @@ def cmd_evaluate(args):
     print(f"Mean IOU (published metric): {mean_iou:.4f}")
 
 
+def _precision_dtype(args):
+    """--precision {mixed,bf16,f32} (+ legacy --f32 alias) -> compute policy
+    accepted by Predictor / save_serving (core.resolve_compute_dtype)."""
+    import jax.numpy as jnp
+    if getattr(args, "f32", False):
+        return jnp.float32
+    return {"mixed": "mixed", "bf16": jnp.bfloat16,
+            "f32": jnp.float32}[getattr(args, "precision", "mixed")]
+
+
 def _crf_config(cfg):
     from deeplab_tpu.crf import CrfConfig
     return CrfConfig(
@@ -267,7 +277,7 @@ def cmd_serve(args):
         pipeline = Predictor(
             net, seg.params, seg.state,
             crf=_crf_config(cfg) if use_crf else None,
-            compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16)
+            compute_dtype=_precision_dtype(args))
         sz = net.sz
         meta = {"pipeline": "predictor", "crf": use_crf}
     server = BatchingServer(pipeline, sz, max_batch=max_batch,
@@ -292,7 +302,7 @@ def cmd_export_serving(args):
         args.out, net, seg.params, seg.state,
         crf=_crf_config(cfg) if use_crf else None,
         batch=args.batch,
-        compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        compute_dtype=_precision_dtype(args),
         platforms=args.platforms)
     size_mb = os.path.getsize(args.out) / 1e6
     print(f"{args.out}: {size_mb:.1f} MB, platforms={list(exp.platforms)}, "
@@ -377,8 +387,13 @@ def main(argv=None):
                                       "mode (no --artifact)")
     ps.add_argument("--crf", action="store_true",
                     help="CRF refinement (live-Predictor mode)")
+    ps.add_argument("--precision", choices=("mixed", "bf16", "f32"),
+                    default="mixed",
+                    help="compute policy (live-Predictor mode): mixed = f32 "
+                         "activations + bf16 MXU (production default, "
+                         "f32-level mIoU), bf16 = turbo, f32 = exact parity")
     ps.add_argument("--f32", action="store_true",
-                    help="f32 compute (default bf16; live-Predictor mode)")
+                    help="alias for --precision f32")
     ps.add_argument("--host", default="0.0.0.0")
     ps.add_argument("--port", type=int, default=8517)
     ps.add_argument("--max-batch", type=int, default=8,
@@ -400,8 +415,13 @@ def main(argv=None):
                          "artifact serves any batch)")
     px.add_argument("--crf", action="store_true",
                     help="include on-device dense-CRF refinement")
+    px.add_argument("--precision", choices=("mixed", "bf16", "f32"),
+                    default="mixed",
+                    help="compute policy to bake into the artifact: mixed = "
+                         "f32 activations + bf16 MXU (production default), "
+                         "bf16 = turbo, f32 = exact parity")
     px.add_argument("--f32", action="store_true",
-                    help="f32 compute (default bf16)")
+                    help="alias for --precision f32")
     px.add_argument("--platforms", nargs="+", default=None,
                     help="lowering targets, e.g. --platforms tpu cpu "
                          "(default: this process's backend)")

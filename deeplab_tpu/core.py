@@ -43,6 +43,15 @@ class Ctx:
     # with batch statistics and reports them RAW via update_stat (no EMA);
     # dropout stays off (training=False).
     bn_calibrate: bool = False
+    # The 'mixed' compute policy (compute_dtype="mixed"): activations stay
+    # float32 but conv/matmul MXU passes run at DEFAULT precision (one bf16
+    # pass with f32 accumulation) instead of f32's HIGHEST (bf16x6).
+    # Measured on mini_voc (tools/grade_production.py, 512x512): mIoU equals
+    # the f32/HIGHEST parity path (+0.005 pt) at 1478 img/s/chip model-only
+    # vs f32's 538 — the serving-accuracy production policy.  End-to-end
+    # bf16 costs -0.11 pt on the same metric (activation rounding in the
+    # backbone; an f32 head does not recover it).
+    mxu_bf16: bool = False
     # True when this apply executes PER DEVICE inside a shard_map program
     # (e.g. Predictor's data-parallel serving).  Pallas custom calls have
     # no SPMD partitioning rule, so the fused-kernel gates normally demand
@@ -105,6 +114,17 @@ def init_model(model_fn: Callable, rng: jax.Array, *example_inputs, **kwargs):
     return ctx.params, ctx.state
 
 
+def resolve_compute_dtype(compute_dtype):
+    """Translate a compute policy into (activation dtype, mxu_bf16 flag).
+
+    Accepted anywhere ``compute_dtype`` is: a real dtype (float32 parity /
+    bfloat16 turbo), or the string ``"mixed"`` — float32 activations with
+    single-pass bf16 MXU convs (see Ctx.mxu_bf16)."""
+    if isinstance(compute_dtype, str) and compute_dtype == "mixed":
+        return jnp.float32, True
+    return compute_dtype, False
+
+
 def apply_model(model_fn: Callable, params: Params, state: State, *inputs,
                 training: bool = False, rng: Optional[jax.Array] = None,
                 frozen: frozenset = frozenset(), compute_dtype=jnp.float32,
@@ -115,11 +135,15 @@ def apply_model(model_fn: Callable, params: Params, state: State, *inputs,
     ``new_state`` contains updated BN moving stats when ``training=True``
     (merged over the old state), else it equals ``state``.
     ``compute_dtype=jnp.bfloat16`` selects the fast MXU path (params stay
-    f32; activations and conv inputs run bf16).
+    f32; activations and conv inputs run bf16); ``compute_dtype="mixed"``
+    keeps f32 activations but runs the MXU at bf16 (serving accuracy at
+    ~80% of the bf16 rate — see Ctx.mxu_bf16).
     """
+    compute_dtype, mxu_bf16 = resolve_compute_dtype(compute_dtype)
     ctx = Ctx(mode="apply", params=params, state=state, training=training,
               rng=rng, frozen=frozen, compute_dtype=compute_dtype,
-              bn_calibrate=bn_calibrate, shard_local=shard_local)
+              bn_calibrate=bn_calibrate, shard_local=shard_local,
+              mxu_bf16=mxu_bf16)
     out = model_fn(ctx, *inputs, **kwargs)
     if (training or bn_calibrate) and ctx.new_state:
         merged = {k: dict(v) for k, v in state.items()}

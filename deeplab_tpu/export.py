@@ -47,7 +47,7 @@ _META_KEY = "__meta__"
 
 
 def build_serving_fn(net, crf: Optional[CrfConfig] = None,
-                     compute_dtype=jnp.bfloat16,
+                     compute_dtype="mixed",
                      n_classes: Optional[int] = None):
     """The single-device serving pipeline (the same math as ``Predictor``
     without a mesh): raw 0-255 BGR (B, H, W, 3) float32 -> (B, H, W) int32
@@ -74,7 +74,7 @@ def _specs_like(tree):
 
 
 def export_serving(net, params, state, crf: Optional[CrfConfig] = None,
-                   batch: Optional[int] = None, compute_dtype=jnp.bfloat16,
+                   batch: Optional[int] = None, compute_dtype="mixed",
                    platforms: Optional[Sequence[str]] = None,
                    n_classes: Optional[int] = None):
     """Trace + lower the serving pipeline; returns a ``jax.export.Exported``.
@@ -119,7 +119,7 @@ def _unflatten(npz):
 
 
 def save_serving(path, net, params, state, crf: Optional[CrfConfig] = None,
-                 batch: Optional[int] = None, compute_dtype=jnp.bfloat16,
+                 batch: Optional[int] = None, compute_dtype="mixed",
                  platforms: Optional[Sequence[str]] = None,
                  n_classes: Optional[int] = None):
     """Export and write a self-contained serving artifact (one ``.npz``).
@@ -136,7 +136,8 @@ def save_serving(path, net, params, state, crf: Optional[CrfConfig] = None,
         "image_size": list(net.sz),
         "n_classes": n_classes or getattr(net, "n_classes", 21),
         "batch": batch,
-        "compute_dtype": jnp.dtype(compute_dtype).name,
+        "compute_dtype": ("mixed" if isinstance(compute_dtype, str)
+                          else jnp.dtype(compute_dtype).name),
         "platforms": list(exp.platforms),
         "crf": (None if crf is None else
                 {f.name: getattr(crf, f.name)

@@ -25,14 +25,18 @@ from deeplab_tpu.ops.padding import manual_pads, same_pads
 _DN = jax.lax.conv_dimension_numbers  # cached per-shape by jax
 
 
-def _conv(x, kernel, stride: int, rate: int, pads, feature_group_count: int = 1):
+def _conv(x, kernel, stride: int, rate: int, pads, feature_group_count: int = 1,
+          mxu_bf16: bool = False):
     dn = _DN(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
     # float32 runs at HIGHEST precision (the logit-parity contract vs the
     # reference's f32 CUDA kernels); bfloat16 uses the fast MXU path with
     # native bf16 output (the MXU accumulates in f32 internally; forcing
     # preferred_element_type=f32 here breaks the conv VJP's dtype symmetry).
+    # mxu_bf16 (the 'mixed' policy, core.Ctx.mxu_bf16): f32 activations with
+    # DEFAULT precision — one bf16 MXU pass, f32 accumulation/output.
     if x.dtype == jnp.float32:
-        precision = jax.lax.Precision.HIGHEST
+        precision = (jax.lax.Precision.DEFAULT if mxu_bf16
+                     else jax.lax.Precision.HIGHEST)
         preferred = jnp.float32
     else:
         precision = jax.lax.Precision.DEFAULT
@@ -61,7 +65,8 @@ def conv2d(ctx, x, filters: int, kernel_size: int, name: str, stride: int = 1,
         pw = same_pads(x.shape[2], kernel_size, stride, rate)
     else:
         ph = pw = (0, 0)
-    y = _conv(x, kernel, stride, rate, [ph, pw])
+    y = _conv(x, kernel, stride, rate, [ph, pw],
+              mxu_bf16=getattr(ctx, "mxu_bf16", False))
     if use_bias:
         bias = ctx.param(name, "bias", (filters,), inits.zeros)
         y = y + bias.astype(y.dtype)
@@ -78,7 +83,8 @@ def conv2d_fixed(ctx, x, filters: int, name: str, stride: int = 1,
     kernel = ctx.param(name, "kernel", (kernel_size, kernel_size, cin, filters),
                        inits.glorot_uniform)
     p = manual_pads(kernel_size, rate)
-    return _conv(x, kernel, stride, rate, [p, p])
+    return _conv(x, kernel, stride, rate, [p, p],
+                 mxu_bf16=getattr(ctx, "mxu_bf16", False))
 
 
 def depthwise_conv2d(ctx, x, kernel_size: int, name: str, stride: int = 1,
@@ -101,7 +107,8 @@ def depthwise_conv2d(ctx, x, kernel_size: int, name: str, stride: int = 1,
         pw = same_pads(x.shape[2], kernel_size, stride, rate)
     else:
         ph = pw = (0, 0)
-    return _conv(x, k, stride, rate, [ph, pw], feature_group_count=cin)
+    return _conv(x, k, stride, rate, [ph, pw], feature_group_count=cin,
+                 mxu_bf16=getattr(ctx, "mxu_bf16", False))
 
 
 def sep_conv_bn(ctx, x, filters: int, prefix: str, stride: int = 1,

@@ -24,7 +24,11 @@ class Predictor:
       net: a SegNet / Deeplabv3-like object with ``apply``.
       params, state: the weight trees.
       crf: CrfConfig for on-device post-processing, or None to skip.
-      compute_dtype: bf16 (default) for the fast path, f32 for parity.
+      compute_dtype: "mixed" (default) — f32 activations with single-pass
+        bf16 MXU convs, the production policy (mIoU == f32 parity on
+        mini_voc at 1478 img/s/chip model-only; core.Ctx.mxu_bf16);
+        jnp.bfloat16 for the turbo path (1850 img/s, -0.11 pt mIoU);
+        jnp.float32 for exact parity (538 img/s).
       mesh: optional jax Mesh; batches shard over its 'data' axis.
       tta_scales / tta_flip: multi-scale + horizontal-flip test-time
         augmentation (the upstream DeepLab eval protocol the reference
@@ -36,7 +40,7 @@ class Predictor:
     """
 
     def __init__(self, net, params, state, crf: Optional[CrfConfig] = None,
-                 compute_dtype=jnp.bfloat16, mesh=None,
+                 compute_dtype="mixed", mesh=None,
                  n_classes: Optional[int] = None, spatial: bool = False,
                  return_raw: bool = False,
                  tta_scales: Optional[tuple] = None, tta_flip: bool = False):

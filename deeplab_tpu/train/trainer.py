@@ -24,7 +24,8 @@ from deeplab_tpu.metrics import (accuracy_from_ids, accuracy_sums_from_ids,
                                  jaccard_from_ids, jaccard_from_sums,
                                  jaccard_sums_from_ids)
 from deeplab_tpu.parallel.mesh import (data_sharding, get_mesh,
-                                       replicated_sharding)
+                                       is_coordinator, put_global,
+                                       put_replicated, replicated_sharding)
 from deeplab_tpu.train.optimizer import freeze_set, make_optimizer, mask_frozen
 
 
@@ -394,9 +395,14 @@ class Trainer:
                 continue
             sizes.extend(_served_batch_sizes(g))
         n_data = self.mesh.shape["data"]
+        # multi-process: sizes are LOCAL batches; the global batch is
+        # local * process_count, and shrinking to a submesh would orphan
+        # whole processes — _check_batch_divides errors instead.
+        n_proc = jax.process_count()
         usable = n_data
-        for s in sizes:
-            usable = math.gcd(usable, s)
+        if n_proc == 1:
+            for s in sizes:
+                usable = math.gcd(usable, s)
         if usable != n_data:
             devs = self.mesh.devices.reshape(-1)[:usable * self.mesh.shape["space"]]
             self.mesh = get_mesh(devs, data=usable,
@@ -411,19 +417,22 @@ class Trainer:
         repl = replicated_sharding(self.mesh)
         # Copy before donating: on a 1-device mesh device_put is a no-op and
         # donate_argnums would otherwise delete the CALLER's arrays on the
-        # first step.
-        self.params = jax.device_put(jax.tree.map(jnp.array, params), repl)
-        self.state = jax.device_put(jax.tree.map(jnp.array, state), repl)
-        self.opt_state = jax.device_put(tx.init(self.params), repl)
+        # first step.  put_replicated handles the multi-process mesh (every
+        # process holds the same seeded init / restored checkpoint).
+        self.params = put_replicated(jax.tree.map(jnp.array, params),
+                                     self.mesh)
+        self.state = put_replicated(jax.tree.map(jnp.array, state),
+                                    self.mesh)
+        self.opt_state = put_replicated(tx.init(self.params), self.mesh)
         step = 0
 
         if resume_from is not None and __import__("os").path.exists(resume_from):
             from deeplab_tpu.train.checkpoint import restore_train_state
             (p, s, o, step, self.lr_scale, extra) = restore_train_state(
                 resume_from, self.params, self.state, self.opt_state)
-            self.params = jax.device_put(p, repl)
-            self.state = jax.device_put(s, repl)
-            self.opt_state = jax.device_put(o, repl)
+            self.params = put_replicated(p, self.mesh)
+            self.state = put_replicated(s, self.mesh)
+            self.opt_state = put_replicated(o, self.mesh)
             initial_epoch = max(initial_epoch, extra.get("epoch", 0))
             # restore callback bookkeeping (ModelCheckpoint.best, plateau /
             # early-stop counters) — without it the first post-resume epoch
@@ -482,13 +491,22 @@ class Trainer:
     def _check_batch_divides(self, X):
         """Catch an indivisible batch (unknown generator type serving a
         ragged size the metadata probe could not predict) with an
-        actionable error instead of a cryptic sharding failure."""
+        actionable error instead of a cryptic sharding failure.  Multi-
+        process, X is this host's LOCAL slice: it must divide this
+        process's share of the 'data' axis (the global batch is the local
+        rows times process_count)."""
         n_data = self.mesh.shape["data"]
-        if X.shape[0] % n_data:
+        n_local = n_data // max(jax.process_count(), 1)
+        if n_local == 0 or n_data % jax.process_count():
             raise ValueError(
-                f"batch of {X.shape[0]} does not divide the mesh 'data' "
-                f"axis ({n_data}); make batch sizes (including the final "
-                f"batch) multiples of {n_data}, or pass a smaller mesh")
+                f"mesh 'data' axis ({n_data}) must be a multiple of "
+                f"jax.process_count() ({jax.process_count()})")
+        if X.shape[0] % n_local:
+            raise ValueError(
+                f"local batch of {X.shape[0]} does not divide this "
+                f"process's share of the mesh 'data' axis ({n_local} of "
+                f"{n_data}); make local batch sizes (including the final "
+                f"batch) multiples of {n_local}, or pass a smaller mesh")
 
     def _fit_loop(self, train_gen, train_pipe, valid_gen, valid_pipe,
                   initial_epoch, train_jit, eval_jit, base_rng, history,
@@ -506,11 +524,13 @@ class Trainer:
                     profiler.before_step(step, blockers=sums)
                 timer.start()
                 # host numpy -> per-shard transfer in one hop (jnp.asarray
-                # first would land the whole batch on one device and reshard)
-                items = X.shape[0]
-                X = jax.device_put(np.asarray(X), img_sh)
-                Y = jax.device_put(np.asarray(Y), data_sh)
-                SW = jax.device_put(np.asarray(SW), data_sh)
+                # first would land the whole batch on one device and
+                # reshard); multi-process, these rows are this host's LOCAL
+                # slice and put_global assembles the global batch
+                items = X.shape[0] * jax.process_count()
+                X = put_global(X, img_sh)
+                Y = put_global(Y, data_sh)
+                SW = put_global(SW, data_sh)
                 rng = jax.random.fold_in(base_rng, step)
                 self.params, self.state, self.opt_state, metrics = train_jit(
                     self.params, self.state, self.opt_state,
@@ -532,9 +552,9 @@ class Trainer:
                     SW = (sw_dict["pred_mask"] if isinstance(sw_dict, dict)
                           else sw_dict)
                     self._check_batch_divides(X)
-                    X = jax.device_put(np.asarray(X), img_sh)
-                    Y = jax.device_put(np.asarray(Y), data_sh)
-                    SW = jax.device_put(np.asarray(SW), data_sh)
+                    X = put_global(X, img_sh)
+                    Y = put_global(Y, data_sh)
+                    SW = put_global(SW, data_sh)
                     m = eval_jit(self.params, self.state, X, Y, SW)
                     for k, v in m.items():
                         vsums[k] = vsums.get(k, 0.0) + v
@@ -554,7 +574,9 @@ class Trainer:
             train_gen.on_epoch_end()
             for cb in self.callbacks:
                 cb.on_epoch_end(epoch, logs)
-            if state_checkpoint is not None:
+            if state_checkpoint is not None and is_coordinator():
+                # process 0 owns the write; replicated trees are locally
+                # addressable on every process so no gather is needed
                 from deeplab_tpu.train.checkpoint import save_train_state
                 save_train_state(
                     state_checkpoint, self.params, self.state,

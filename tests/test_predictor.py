@@ -84,7 +84,9 @@ def test_predictor_data_mesh_engages_fused_blocks(monkeypatch):
     net, params, state = _net_and_weights()
     imgs = np.random.RandomState(6).rand(8, SZ, SZ, 3) * 255
 
+    import jax.numpy as jnp
     xla = Predictor(net, params, state, crf=None,
+                    compute_dtype=jnp.bfloat16,
                     mesh=get_mesh(jax.devices()[:8]))(imgs)
 
     monkeypatch.setattr(FM, "pallas_available", lambda: True)
@@ -97,11 +99,15 @@ def test_predictor_data_mesh_engages_fused_blocks(monkeypatch):
         return real(ctx, x, prefix, rate, skip, interpret=interpret)
 
     monkeypatch.setattr(FM, "fused_block_apply", counting)
+    # the fused kernels gate on bf16 — the turbo policy, not the "mixed"
+    # production default (tests/test_mixed_policy.py covers that path)
     p8 = Predictor(net, params, state, crf=None,
+                   compute_dtype=jnp.bfloat16,
                    mesh=get_mesh(jax.devices()[:8]))(imgs)
     assert calls, "fused serving path did not engage under the data mesh"
     calls.clear()
     p1 = Predictor(net, params, state, crf=None,
+                   compute_dtype=jnp.bfloat16,
                    mesh=get_mesh(jax.devices()[:1]))(imgs)
     assert calls, "fused serving path did not engage on the 1-device mesh"
     np.testing.assert_array_equal(p8, p1)
