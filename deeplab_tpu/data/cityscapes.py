@@ -45,8 +45,8 @@ class CityscapesGenerator(SegmentationGenerator):
     """
 
     def __init__(self, folder, mode="train", n_classes=N_CLASSES,
-                 validation_split=0.0, seed=7, host_id: int = 0,
-                 num_hosts: int = 1, **kw):
+                 validation_split=0.0, seed=7, host_id=None,
+                 num_hosts=None, **kw):
         split_dir = "train" if (mode in ("train", "validation")
                                 and validation_split > 0) else \
             {"train": "train", "validation": "val", "test": "test"}[mode]
@@ -66,6 +66,8 @@ class CityscapesGenerator(SegmentationGenerator):
             idx = reference_split(len(images), validation_split, seed, mode)
             images = [images[j] for j in idx]
             labels = [labels[j] for j in idx]
+        from deeplab_tpu.data.generator import _resolve_host_shard
+        host_id, num_hosts = _resolve_host_shard(host_id, num_hosts)
         if num_hosts > 1:
             images = images[host_id::num_hosts]
             labels = labels[host_id::num_hosts]

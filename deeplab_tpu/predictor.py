@@ -121,14 +121,29 @@ class Predictor:
             from jax.sharding import PartitionSpec as P
             from deeplab_tpu.parallel.mesh import (data_sharding,
                                                    replicated_sharding)
+            from deeplab_tpu.parallel.mesh import put_replicated
             repl = replicated_sharding(mesh)
             # Optionally shard the image height over the mesh 'space' axis
             # for big-image serving (XLA SPMD inserts the conv halo
             # exchanges — the serving twin of Trainer(spatial=True)).
             data = data_sharding(mesh, spatial=spatial)
             out_data = data_sharding(mesh)
-            self.params = jax.device_put(params, repl)
-            self.state = jax.device_put(state, repl)
+            self.params = put_replicated(params, mesh)
+            self.state = put_replicated(state, mesh)
+            # Mesh spanning processes (multi-host serving): each process
+            # feeds its LOCAL images and gets its local masks back; the
+            # global batch is assembled via make_array_from_process_local_
+            # data and the output unpacked from addressable shards.
+            self._multiproc = any(
+                d.process_index != jax.process_index()
+                for d in mesh.devices.flat)
+            self._in_sharding = data
+            if self._multiproc:
+                # local rows must tile this process's share of 'data'
+                n_local = sum(d.process_index == jax.process_index()
+                              for d in mesh.devices.flat)
+                self._mesh_n = (n_local if not spatial else
+                                n_local // mesh.shape["space"])
 
             def sharded_pipeline(params, state, img):
                 if not spatial:
@@ -178,6 +193,7 @@ class Predictor:
                                in_shardings=(repl, repl, data),
                                out_shardings=out_sh)
         else:
+            self._multiproc = False
             self._fn = jax.jit(pipeline)
 
     def __call__(self, images):
@@ -196,6 +212,15 @@ class Predictor:
             if pad:
                 img = jnp.concatenate(
                     [img, jnp.repeat(img[-1:], pad, axis=0)], axis=0)
+        if self._multiproc:
+            from deeplab_tpu.parallel.mesh import local_batch_rows
+            img = jax.make_array_from_process_local_data(
+                self._in_sharding, np.asarray(img))
+            out = self._fn(self.params, self.state, img)
+            if self.return_raw:
+                return (local_batch_rows(out[0])[:b],
+                        local_batch_rows(out[1])[:b])
+            return local_batch_rows(out)[:b]
         out = self._fn(self.params, self.state, img)
         if self.return_raw:
             return np.asarray(out[0])[:b], np.asarray(out[1])[:b]

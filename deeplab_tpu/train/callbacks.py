@@ -60,6 +60,11 @@ class ModelCheckpoint(_MonitorCallback):
         self.verbose = verbose
 
     def _save(self, epoch, value):
+        # multi-host: every process runs the same monitor logic (replicated
+        # metrics keep decisions consistent) but only process 0 writes
+        from deeplab_tpu.parallel.mesh import is_coordinator
+        if not is_coordinator():
+            return
         from deeplab_tpu.params import save_keras_h5
         save_keras_h5(self.filepath, self.trainer.params,
                       self.trainer.state)
@@ -123,6 +128,10 @@ class JSONLLogger(Callback):
         self.path = path
 
     def on_epoch_end(self, epoch: int, logs: dict):
+        # multi-host: one JSONL writer per job (process 0)
+        from deeplab_tpu.parallel.mesh import is_coordinator
+        if not is_coordinator():
+            return
         import json
         import os
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
@@ -147,6 +156,9 @@ class TensorBoard(Callback):
         return self._writer
 
     def on_epoch_end(self, epoch: int, logs: dict):
+        from deeplab_tpu.parallel.mesh import is_coordinator
+        if not is_coordinator():
+            return   # one event-file writer per job (process 0)
         try:
             import tensorflow as tf
         except ImportError:
