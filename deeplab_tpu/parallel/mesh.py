@@ -108,7 +108,10 @@ def put_global(x, sharding):
     """
     import numpy as np
     x = np.asarray(x)
-    if jax.process_count() == 1:
+    # Branch on the SHARDING, not the global process count: a process-local
+    # submesh inside a distributed job is fully addressable and must take
+    # the plain device_put path (ADVICE r4 low#1).
+    if sharding.is_fully_addressable:
         return jax.device_put(x, sharding)
     return jax.make_array_from_process_local_data(sharding, x)
 
@@ -118,7 +121,7 @@ def put_replicated(tree, mesh: Mesh):
     state / optimizer).  Multi-process: every process must hold the SAME
     host values (true for seeded init and checkpoint restores)."""
     repl = replicated_sharding(mesh)
-    if jax.process_count() == 1:
+    if repl.is_fully_addressable:
         return jax.device_put(tree, repl)
     import numpy as np
     return jax.tree.map(
@@ -126,13 +129,31 @@ def put_replicated(tree, mesh: Mesh):
             repl, np.asarray(x)), tree)
 
 
+def mesh_process_count(mesh: Mesh) -> int:
+    """Number of distinct processes whose devices appear in ``mesh`` — the
+    right multiproc divisor for per-process batch shares (a process-local
+    submesh in a distributed job has exactly one, regardless of
+    ``jax.process_count()``)."""
+    return len({d.process_index for d in mesh.devices.flat})
+
+
 def local_batch_rows(arr):
     """This process's rows of a batch-sharded global array (the inverse of
     ``put_global`` for outputs): concatenate addressable shards in global
-    row order."""
+    row order.
+
+    Shards are deduplicated by their batch-slice start: with a mesh whose
+    'space' axis > 1 and a P('data')-sharded output, every space-device
+    holds a replica of the same batch rows, and concatenating all
+    addressable shards would duplicate rows (ADVICE r4 medium#1)."""
     import numpy as np
-    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    uniq = {}
+    for s in arr.addressable_shards:
+        uniq.setdefault(s.index[0].start, s)
+    return np.concatenate(
+        [np.asarray(s.data) for _, s in sorted(uniq.items(),
+                                               key=lambda kv: kv[0] or 0)],
+        axis=0)
 
 
 def get_available_devices(kind: str = "tpu"):

@@ -258,21 +258,37 @@ class Predictor:
             pad = batch_size - X.shape[0]
             if pad:
                 X = np.concatenate([X, np.repeat(X[-1:], pad, axis=0)])
-            img = jnp.asarray(X, jnp.float32)
+            img = np.asarray(X, np.float32)
             if self._mesh_n > 1:
                 extra = (-batch_size) % self._mesh_n
                 if extra:
-                    img = jnp.concatenate(
-                        [img, jnp.repeat(img[-1:], extra, axis=0)], axis=0)
-            return self._fn(self.params, self.state, img)
+                    img = np.concatenate(
+                        [img, np.repeat(img[-1:], extra, axis=0)], axis=0)
+            if self._multiproc:
+                # multi-host mesh: img holds this process's LOCAL rows;
+                # assemble the global array the same way __call__ does
+                # (device_put on a cross-process sharding raises)
+                arr = jax.make_array_from_process_local_data(
+                    self._in_sharding, img)
+            else:
+                arr = jnp.asarray(img)
+            return self._fn(self.params, self.state, arr)
+
+        def _rows(out, n):
+            # np.asarray on a non-fully-addressable multi-host output
+            # raises; unpack this process's rows from its shards instead
+            if self._multiproc:
+                from deeplab_tpu.parallel.mesh import local_batch_rows
+                return local_batch_rows(out)[:n]
+            return np.asarray(out)[:n]
 
         def emit(bp, out, n):
             if self.return_raw:
-                raw, ref = np.asarray(out[0])[:n], np.asarray(out[1])[:n]
+                raw, ref = _rows(out[0], n), _rows(out[1], n)
                 for i, p in enumerate(bp):
                     yield p, (raw[i], ref[i])
             else:
-                arr = np.asarray(out)[:n]
+                arr = _rows(out, n)
                 for i, p in enumerate(bp):
                     yield p, arr[i]
 

@@ -24,8 +24,9 @@ from deeplab_tpu.metrics import (accuracy_from_ids, accuracy_sums_from_ids,
                                  jaccard_from_ids, jaccard_from_sums,
                                  jaccard_sums_from_ids)
 from deeplab_tpu.parallel.mesh import (data_sharding, get_mesh,
-                                       is_coordinator, put_global,
-                                       put_replicated, replicated_sharding)
+                                       is_coordinator, mesh_process_count,
+                                       put_global, put_replicated,
+                                       replicated_sharding)
 from deeplab_tpu.train.optimizer import freeze_set, make_optimizer, mask_frozen
 
 
@@ -396,9 +397,11 @@ class Trainer:
             sizes.extend(_served_batch_sizes(g))
         n_data = self.mesh.shape["data"]
         # multi-process: sizes are LOCAL batches; the global batch is
-        # local * process_count, and shrinking to a submesh would orphan
-        # whole processes — _check_batch_divides errors instead.
-        n_proc = jax.process_count()
+        # local * mesh-process-count, and shrinking to a submesh would
+        # orphan whole processes — _check_batch_divides errors instead.
+        # (Counted from the MESH, not jax.process_count(): a process-local
+        # submesh in a distributed job is single-process, ADVICE r4 low#1.)
+        n_proc = mesh_process_count(self.mesh)
         usable = n_data
         if n_proc == 1:
             for s in sizes:
@@ -496,11 +499,12 @@ class Trainer:
         process's share of the 'data' axis (the global batch is the local
         rows times process_count)."""
         n_data = self.mesh.shape["data"]
-        n_local = n_data // max(jax.process_count(), 1)
-        if n_local == 0 or n_data % jax.process_count():
+        n_proc = mesh_process_count(self.mesh)
+        n_local = n_data // max(n_proc, 1)
+        if n_local == 0 or n_data % n_proc:
             raise ValueError(
-                f"mesh 'data' axis ({n_data}) must be a multiple of "
-                f"jax.process_count() ({jax.process_count()})")
+                f"mesh 'data' axis ({n_data}) must be a multiple of the "
+                f"mesh's process count ({n_proc})")
         if X.shape[0] % n_local:
             raise ValueError(
                 f"local batch of {X.shape[0]} does not divide this "
