@@ -428,9 +428,19 @@ def main():
         from grade_production import grade
         rec = grade()
         shortfall = max(-rec["delta_published_pt"], -rec["delta_std_pt"], 0.0)
+        # shortfall (quality floor) is the pass criterion, but also surface
+        # |delta|: drifting far ABOVE parity would equally indicate a
+        # pipeline divergence even though it passes the floor
+        abs_delta = max(abs(rec["delta_published_pt"]),
+                        abs(rec["delta_std_pt"]))
+        if abs_delta > 0.5:
+            rec["divergence_warning"] = (
+                f"|production - parity| = {abs_delta:.2f} pt exceeds the "
+                "0.5 pt two-sided band; check for pipeline divergence")
         emit("production-vs-parity mIoU shortfall (mini_voc, published "
              "metric)", shortfall, "pt",
-             min(0.1 / max(shortfall, 1e-6), 99.0), **rec)
+             min(0.1 / max(shortfall, 1e-6), 99.0),
+             abs_delta_pt=round(abs_delta, 4), **rec)
 
     # HEADLINE — in the default stage set and always the LAST line; a
     # BENCH_STAGES subset that omits it (e.g. iterating on train only)
