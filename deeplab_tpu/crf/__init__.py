@@ -22,10 +22,15 @@ THROUGHPUT_CONFIG = CrfConfig(color_step=2.5, color_taps="lsq",
                               splat_stride=4)
 
 # Production serving config: selected by DATASET-level mIoU against the
-# f32/faithful parity pipeline (tools/grade_production.py, mini_voc 512x512,
-# the BASELINE "within 0.1 pt" criterion) rather than per-golden MAP
-# agreement.  Measured deltas vs parity (round 4): cs1.5/nnls -0.053 pt,
-# FAST_FAITHFUL (cs1.7/nnls) -0.154 pt, THROUGHPUT -0.35 pt.  Composed with
-# the "mixed" model policy (core.Ctx.mxu_bf16) the full production stack
-# measures +0.19 pt vs parity — i.e. inside the criterion.
-PRODUCTION_CONFIG = CrfConfig(color_step=1.5, color_taps="nnls")
+# f32/faithful parity pipeline (tools/grade_production.py, the BASELINE
+# "within 0.1 pt" criterion) rather than per-golden MAP agreement.
+# Selection ran on the 20-tile SELECT split (512x512, composed with the
+# "mixed" model policy, round 5): cs1.5/nnls/st1 +0.17 pt @247 img/s/chip,
+# cs1.5/nnls/st2 +0.12 pt @335, cs1.7/nnls/st2 +0.07 pt @353,
+# cs1.5/nnls/st4 -0.02 pt @385.  st2 keeps the quality margin at the speed
+# the end-to-end 250 img/s/chip target needs (the splat is a kernel
+# density estimate — 2x subsampling barely moves a sxy=80 kernel).  The
+# criterion number is graded on the DISJOINT 64-tile eval split
+# (tests/data/mini_voc_eval) by bench stage "miou".
+PRODUCTION_CONFIG = CrfConfig(color_step=1.5, color_taps="nnls",
+                              splat_stride=2)

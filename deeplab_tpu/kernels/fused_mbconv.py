@@ -47,13 +47,21 @@ INTERPRET = False
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("rate", "skip", "rows_t", "interpret"))
+                   static_argnames=("rate", "skip", "rows_t", "mxu_bf16",
+                                    "interpret"))
 def fused_mbconv(x, w1, b1, wdw, bdw, w2, b2, *, rate: int, skip: bool,
-                 rows_t: int = 8, interpret: bool = False):
+                 rows_t: int = 8, mxu_bf16: bool = False,
+                 interpret: bool = False):
     """x: (B, H, W, Cin) bf16/f32; w1 (Cin, Ce); wdw (16, Ce) f32 taps
     ((dy, dx) row-major in the first 9 rows, sublane-padded); w2 (Ce, Cout);
     b1/bdw/b2 (1, C*) f32 biases with BN folded.  Stride 1, 'same' padding,
-    dilation ``rate``; ``skip`` adds the residual input."""
+    dilation ``rate``; ``skip`` adds the residual input.
+
+    ``mxu_bf16`` is the fused twin of the 'mixed' serving policy
+    (core.Ctx.mxu_bf16): x/out stay float32 in HBM, but the two matmuls'
+    inputs are cast to bf16 inside the kernel (one bf16 MXU pass, f32
+    accumulation — the same rounding XLA's Precision.DEFAULT applies to an
+    f32 conv).  The depthwise taps run f32 on the VPU in every mode."""
     B, H, W, Cin = x.shape
     Ce = w1.shape[1]
     Cout = w2.shape[1]
@@ -76,7 +84,8 @@ def fused_mbconv(x, w1, b1, wdw, bdw, w2, b2, *, rate: int, skip: bool,
         top = prev_ref[0, P - HP:, :]
         bot = next_ref[0, :HP, :]
         xt = jnp.concatenate([top, cur_ref[0], bot], axis=0)  # (n_e, Cin)
-        e = jnp.dot(xt, w1_ref[...], preferred_element_type=jnp.float32)
+        xin = xt.astype(jnp.bfloat16) if mxu_bf16 else xt
+        e = jnp.dot(xin, w1_ref[...], preferred_element_type=jnp.float32)
         e = jnp.clip(e + b1_ref[0], 0.0, 6.0)  # f32: Mosaic rotates are 32-bit
         # 'same' zero padding acts on the depthwise INPUT, i.e. on e:
         # at image-edge tiles the halo rows must be 0, not relu6(b1)
@@ -97,7 +106,8 @@ def fused_mbconv(x, w1, b1, wdw, bdw, w2, b2, *, rate: int, skip: bool,
             for i, dy in enumerate((-rate, 0, rate)):
                 off = HP + dy * W
                 acc = acc + r_[off:off + P, :] * wdw_ref[i * 3 + j]
-        y = jnp.clip(acc, 0.0, 6.0).astype(cur_ref.dtype)
+        y = jnp.clip(acc, 0.0, 6.0).astype(
+            jnp.bfloat16 if mxu_bf16 else cur_ref.dtype)
         o = jnp.dot(y, w2_ref[...], preferred_element_type=jnp.float32)
         o = o + b2_ref[0]
         if skip:
@@ -241,14 +251,19 @@ def fused_block_apply(ctx, x, prefix: str, rate: int, skip: bool,
                       bn2[1]["moving_mean"], bn2[1]["moving_variance"], eps)
 
     dt = ctx.compute_dtype
+    # 'mixed' policy: activations stay f32 (dt), matmul weights go bf16 and
+    # the kernel casts its dot inputs to bf16 (see fused_mbconv docstring)
+    mxu = bool(getattr(ctx, "mxu_bf16", False)) and dt == jnp.float32
+    wdt = jnp.bfloat16 if mxu else dt
     Ce = w1.shape[1]
-    w1f = (w1.astype(jnp.float32) * s1).astype(dt)
+    w1f = (w1.astype(jnp.float32) * s1).astype(wdt)
     wdwf = (wdw[..., 0].reshape(9, Ce).astype(jnp.float32) * sd)
     wdwf = jnp.pad(wdwf, ((0, 7), (0, 0)))               # sublane pad
-    w2f = (w2.astype(jnp.float32) * s2).astype(dt)
+    w2f = (w2.astype(jnp.float32) * s2).astype(wdt)
     return fused_mbconv(x.astype(dt), w1f, t1.reshape(1, -1), wdwf,
                         td.reshape(1, -1), w2f, t2.reshape(1, -1),
-                        rate=rate, skip=skip, interpret=interpret)
+                        rate=rate, skip=skip, mxu_bf16=mxu,
+                        interpret=interpret)
 
 
 def fused_sepconv_apply(ctx, x, prefix: str, rate: int,

@@ -100,8 +100,9 @@ def deeplabv3_forward(ctx, img, *, backbone: str = "mobilenetv2", OS: int = 16,
     else:
         raise ValueError(f"unknown backbone {backbone!r}")
 
-    x = aspp(ctx, x, backbone, OS, input_hw)
-    x = dropout(ctx, x, 0.1)
+    with jax.named_scope("aspp"):
+        x = aspp(ctx, x, backbone, OS, input_hw)
+        x = dropout(ctx, x, 0.1)
 
     if backbone == "xception":
         # Decoder (deeplabv3p.py:414-429): upsample to stride 4, fuse skip.
@@ -122,12 +123,13 @@ def deeplabv3_forward(ctx, img, *, backbone: str = "mobilenetv2", OS: int = 16,
 
     last_layer_name = ("logits_semantic" if classes == 21
                        else "custom_logits_semantic")
-    x = conv2d(ctx, x, classes, 1, last_layer_name, use_bias=True)
-    x = resize_bilinear_tf1(x, input_hw).astype(jnp.float32)
-    if infer:
+    with jax.named_scope("head"):
+        x = conv2d(ctx, x, classes, 1, last_layer_name, use_bias=True)
+        x = resize_bilinear_tf1(x, input_hw).astype(jnp.float32)
+        if infer:
+            return jax.nn.softmax(x, axis=-1)
+        x = x.reshape(x.shape[0], input_hw[0] * input_hw[1], classes)
         return jax.nn.softmax(x, axis=-1)
-    x = x.reshape(x.shape[0], input_hw[0] * input_hw[1], classes)
-    return jax.nn.softmax(x, axis=-1)
 
 
 class Deeplabv3:

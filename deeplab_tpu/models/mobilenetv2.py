@@ -24,21 +24,25 @@ def make_divisible(v, divisor, min_value=None):
 
 def _use_fused_block(ctx, x, stride: int, block_id) -> bool:
     """Serving fast path: the fused expand->depthwise->project Pallas
-    kernel (kernels/fused_mbconv.py) applies in eval-mode bf16 on a
-    single TPU chip for stride-1 blocks with an expand conv.
-    Init/training/calibration and the f32 parity path keep the XLA
-    composition (identical params).  Multi-chip: Pallas custom calls have
-    no SPMD partitioning rule, so a sharded jit could not partition them —
-    but a shard_map program owns exactly one device, so callers that run
-    the forward per-device (Predictor's data-parallel serving) set
-    ctx.shard_local and the fused path engages there too."""
+    kernel (kernels/fused_mbconv.py) applies in eval mode on a single TPU
+    chip for stride-1 blocks with an expand conv, under the bf16 policy
+    AND the 'mixed' policy (f32 activations, in-kernel bf16 MXU casts —
+    core.Ctx.mxu_bf16).  Init/training/calibration and the f32 HIGHEST
+    parity path keep the XLA composition (identical params).  Multi-chip:
+    Pallas custom calls have no SPMD partitioning rule, so a sharded jit
+    could not partition them — but a shard_map program owns exactly one
+    device, so callers that run the forward per-device (Predictor's
+    data-parallel serving) set ctx.shard_local and the fused path engages
+    there too."""
     import jax
     import jax.numpy as jnp
     from deeplab_tpu.kernels import fused_mbconv as FM
     return (FM.ENABLED and block_id and stride == 1
             and ctx.mode == "apply" and not ctx.training
             and not ctx.bn_calibrate
-            and ctx.compute_dtype == jnp.bfloat16
+            and (ctx.compute_dtype == jnp.bfloat16
+                 or (ctx.compute_dtype == jnp.float32
+                     and getattr(ctx, "mxu_bf16", False)))
             and x.shape[1] % 8 == 0
             and (ctx.shard_local or len(jax.devices()) == 1)
             and FM.pallas_available())
@@ -105,13 +109,21 @@ BLOCK_TABLE = (
 
 
 def backbone(ctx, x, alpha: float = 1.0):
-    """Stem + 17 blocks. Input is the normalized image; output stride 8."""
+    """Stem + 17 blocks. Input is the normalized image; output stride 8.
+
+    ``jax.named_scope`` labels are pure HLO metadata (no runtime cost);
+    they survive autodiff (bwd ops keep the scope under ``transpose(...)``)
+    so tools/profile_train.py can bucket a trace by region."""
+    import jax
     first_block_filters = make_divisible(32 * alpha, 8)
-    x = conv2d(ctx, x, first_block_filters, 3, "Conv", stride=2)
-    x = batch_norm(ctx, x, "Conv_BN", epsilon=1e-3, momentum=0.999)
-    x = relu6(x)
+    with jax.named_scope("stem"):
+        x = conv2d(ctx, x, first_block_filters, 3, "Conv", stride=2)
+        x = batch_norm(ctx, x, "Conv_BN", epsilon=1e-3, momentum=0.999)
+        x = relu6(x)
     for filters, stride, expansion, block_id, skip, rate in BLOCK_TABLE:
-        x = inverted_res_block(ctx, x, expansion=expansion, stride=stride,
-                               alpha=alpha, filters=filters, block_id=block_id,
-                               skip_connection=skip, rate=rate)
+        with jax.named_scope(f"mb{block_id:02d}s{stride}"):
+            x = inverted_res_block(ctx, x, expansion=expansion, stride=stride,
+                                   alpha=alpha, filters=filters,
+                                   block_id=block_id,
+                                   skip_connection=skip, rate=rate)
     return x

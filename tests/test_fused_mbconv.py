@@ -84,6 +84,36 @@ def test_fused_sepconv_apply_matches_xla_interpret(rate, depth_act):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_fused_block_apply_mixed_matches_xla_mixed_interpret():
+    """Mixed-policy fused block (f32 I/O, in-kernel bf16 MXU casts) vs the
+    XLA composition under the same 'mixed' ctx: both paths round each
+    matmul input to bf16 once and accumulate f32, so they agree to bf16
+    rounding noise while output/residual stay f32."""
+    from deeplab_tpu import core
+    from deeplab_tpu.models.mobilenetv2 import inverted_res_block
+
+    fwd = functools.partial(inverted_res_block, expansion=6, stride=1,
+                            alpha=1.0, filters=8, block_id=3,
+                            skip_connection=True, rate=2)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(2, 16, 16, 8).astype(np.float32) * 2 - 1)
+    params, state = core.init_model(lambda ctx, v: fwd(ctx, v),
+                                    jax.random.key(0), x)
+    for lname, vars_ in state.items():
+        for vn in vars_:
+            vars_[vn] = jnp.asarray(
+                rng.rand(*vars_[vn].shape).astype(np.float32) * 0.5 + 0.75)
+    ref, _ = core.apply_model(lambda ctx, v: fwd(ctx, v), params, state, x,
+                              compute_dtype="mixed")
+
+    ctx = core.Ctx(mode="apply", params=params, state=state, mxu_bf16=True)
+    got = FM.fused_block_apply(ctx, x, "expanded_conv_3_", rate=2,
+                               skip=True, interpret=True)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_fused_block_apply_matches_xla_block_interpret(monkeypatch):
     """ctx-level wrapper vs the XLA inverted_res_block on the SAME params
     (BN folding correctness), eval mode, dilated block."""
