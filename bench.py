@@ -87,14 +87,35 @@ N_PX = SZ[0] * SZ[1]
 PROFILE_DIR = os.environ.get("BENCH_PROFILE")
 
 
-def timeit(fn, checksum, iters=ITERS, warmup=WARMUP, profile=None):
-    """Queue ``iters`` async dispatches, force them with one final fetch."""
+def timeit(fn, checksum, iters=ITERS, warmup=WARMUP, profile=None,
+           max_blocks=6):
+    """Steady-state seconds/call: queue ``iters`` async dispatches per
+    block, force with one fetch, and take the MINIMUM block mean over up
+    to ``max_blocks`` blocks, stopping once a block fails to improve the
+    best by >2%.
+
+    Why blocks: the first ~80 dispatches of a freshly compiled/loaded
+    executable through the axon tunnel run 2-10x slow (server-side
+    program load + transport warm-up).  The driver's end-of-round bench
+    always runs right after new commits — i.e. with cold executables — so
+    a single timed window right after compile measures that warm-up, not
+    the framework (that artifact was the round-4 "29 ms B=1" record, and
+    a 3x-slow train-step reading during round 5).  Min-of-stable-blocks
+    is warm-up-robust by construction and costs ~one extra block when
+    already warm."""
     for _ in range(warmup):
         np.asarray(checksum(fn()))
-    t0 = time.perf_counter()
-    sums = [checksum(fn()) for _ in range(iters)]
-    np.asarray(jnp.stack(sums)).sum()
-    dt = (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(max_blocks):
+        t0 = time.perf_counter()
+        sums = [checksum(fn()) for _ in range(iters)]
+        np.asarray(jnp.stack(sums)).sum()
+        dt = (time.perf_counter() - t0) / iters
+        stop = dt > best * 0.98          # no meaningful improvement
+        best = min(best, dt)
+        if stop:
+            break
+    dt = best
     if PROFILE_DIR and profile:
         jax.profiler.start_trace(os.path.join(PROFILE_DIR, profile))
         sums = [checksum(fn()) for _ in range(3)]
@@ -353,14 +374,15 @@ def main():
         # warm-up, not the framework — that artifact, not a compute
         # change, was the round-4 "29 ms" record (steady state at the
         # same commit: ~3 ms; see IMPLEMENTATION_NOTES.md round-5 entry).
-        # 5 blocks: with few stages before this one (BENCH_STAGES subsets)
-        # the tunnel warm-up tail can still cover the first ~3 blocks.
-        blocks = [timeit(lambda: infer(params, state, img1), checksum,
-                         iters=40, warmup=(10 if i == 0 else 0),
-                         profile=("latency" if i == 2 else None)) * 1e3
-                  for i in range(5)]
+        # timeit's min-of-stable-blocks handles the warm-up tail; allow
+        # extra blocks here because B=1 blocks are cheap (~0.15 s) and
+        # with few stages before this one (BENCH_STAGES subsets) the tail
+        # can cover several blocks.
+        ms = timeit(lambda: infer(params, state, img1), checksum,
+                    iters=40, warmup=10, profile="latency",
+                    max_blocks=10) * 1e3
         emit(tag("512x512 VOC B=1 serving latency (model+CRF, device)"),
-             min(blocks), "ms", 4.0 / min(blocks))
+             ms, "ms", 4.0 / ms)
 
     if "train" in STAGES or "finetune" in STAGES:
         from deeplab_tpu.train.trainer import Trainer

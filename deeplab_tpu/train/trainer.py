@@ -176,12 +176,13 @@ class Trainer:
             forward = jax.checkpoint(forward)
 
         def compute_loss(out, X, Y, SW):
-            if fused:
-                b, h, w = X.shape[0], X.shape[1], X.shape[2]
-                return masked_sparse_ce_logits(
-                    Y[..., 0].reshape(b, h, w), out,
-                    SW.reshape(b, h, w))
-            return masked_sparse_ce(Y, out, SW)
+            with jax.named_scope("loss"):
+                if fused:
+                    b, h, w = X.shape[0], X.shape[1], X.shape[2]
+                    return masked_sparse_ce_logits(
+                        Y[..., 0].reshape(b, h, w), out,
+                        SW.reshape(b, h, w))
+                return masked_sparse_ce(Y, out, SW)
 
         def train_step(params, state, opt_state, lr_scale, rng, X, Y, SW):
             def loss_fn(p):
@@ -190,13 +191,15 @@ class Trainer:
 
             (loss, (out, new_state)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            updates = mask_frozen(updates, frozen)
-            updates = jax.tree.map(lambda u: u * lr_scale, updates)
-            params = optax.apply_updates(params, updates)
-            metrics = {"loss": loss}
-            metrics.update(metrics_from(Y, jnp.argmax(out, axis=-1),
-                                        out.shape[-1]))
+            with jax.named_scope("optimizer"):
+                updates, opt_state = tx.update(grads, opt_state, params)
+                updates = mask_frozen(updates, frozen)
+                updates = jax.tree.map(lambda u: u * lr_scale, updates)
+                params = optax.apply_updates(params, updates)
+            with jax.named_scope("step_metrics"):
+                metrics = {"loss": loss}
+                metrics.update(metrics_from(Y, jnp.argmax(out, axis=-1),
+                                            out.shape[-1]))
             return params, new_state, opt_state, metrics
 
         def ddp_train_step(params, state, opt_state, lr_scale, rng, X, Y, SW):
