@@ -164,8 +164,12 @@ def _load_prev():
 
 PREV_METRICS, PREV_SOURCE = _load_prev()
 
+# every value emitted THIS run, for the README drift check (docs_drift)
+MEASURED = {}
+
 
 def emit(name, value, unit, vs_baseline, **extra):
+    MEASURED[name] = (value, unit)
     rec = {"metric": name, "value": round(value, 2), "unit": unit,
            "vs_baseline": round(vs_baseline, 3)}
     rec.update(extra)
@@ -178,6 +182,51 @@ def emit(name, value, unit, vs_baseline, **extra):
         if (delta > 10.0) if unit == "ms" else (delta < -10.0):
             rec["regression"] = True
     print(json.dumps(rec))
+
+
+def readme_quotes(path=None):
+    """README.md perf-table numbers annotated with bench metric names:
+    ``<!-- bench-quote: {"metric": "...", "value": N, "unit": "..."} -->``.
+    Returns the parsed list (tests/test_docs_drift.py validates them)."""
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(path or os.path.join(here, "README.md")) as f:
+        text = f.read()
+    out = []
+    for m in re.finditer(r"<!--\s*bench-quote:\s*(\{.*?\})\s*-->", text):
+        out.append(json.loads(m.group(1)))
+    return out
+
+
+def docs_drift_check(tol_pct=25.0):
+    """VERDICT r4 #8: README's quoted numbers must match the bench record
+    of the day, mechanically.  Compare every annotated README quote whose
+    metric THIS run measured; a drift line is emitted before the headline
+    so doc/record divergence is captured inside every BENCH_r*.json."""
+    drift, checked = [], 0
+    try:
+        quotes = readme_quotes()
+    except Exception as e:  # never let a doc problem kill the bench
+        print(json.dumps({"metric": "README quoted-number drift vs this run",
+                          "value": -1.0, "unit": "pct", "vs_baseline": 0.0,
+                          "error": repr(e)}))
+        return
+    for q in quotes:
+        got = MEASURED.get(q["metric"])
+        if not got or got[1] != q.get("unit") or not got[0]:
+            continue
+        checked += 1
+        delta = 100.0 * (q["value"] - got[0]) / got[0]
+        if abs(delta) > tol_pct:
+            drift.append({"metric": q["metric"], "quoted": q["value"],
+                          "measured": round(got[0], 2),
+                          "delta_pct": round(delta, 1)})
+    if checked:
+        print(json.dumps({"metric": "README quoted-number drift vs this run",
+                          "value": float(max((abs(d["delta_pct"])
+                                              for d in drift), default=0.0)),
+                          "unit": "pct", "vs_baseline": 0.0,
+                          "quotes_checked": checked, "mismatches": drift}))
 
 
 def util_fields(flops, nbytes, seconds, has_pallas: bool = False):
@@ -505,8 +554,15 @@ def main():
     if "headline" in STAGES:
         dt = timeit(lambda: infer(params, state, img), checksum,
                     profile="headline")
+        # pre-register the headline value so the README drift line can
+        # cover it while the headline JSON stays the LAST line printed
+        MEASURED[tag("512x512 VOC inference+CRF images/sec/chip")] = (
+            BATCH / dt, "img/s/chip")
+        docs_drift_check()
         emit(tag("512x512 VOC inference+CRF images/sec/chip"),
              BATCH / dt, "img/s/chip", (BATCH / dt) / BASELINE_PER_CHIP)
+    else:
+        docs_drift_check()
 
 
 if __name__ == "__main__":

@@ -54,28 +54,39 @@ def backbone(ctx, x, OS: int = 16):
     (reference deeplabv3p.py:296-298)."""
     entry_block3_stride, middle_block_rate, exit_block_rates, _ = rate_table(OS)
 
-    x = conv2d(ctx, x, 32, 3, "entry_flow_conv1_1", stride=2)
-    x = batch_norm(ctx, x, "entry_flow_conv1_1_BN")
-    x = jax.nn.relu(x)
-    x = conv2d_fixed(ctx, x, 64, "entry_flow_conv1_2", kernel_size=3, stride=1)
-    x = batch_norm(ctx, x, "entry_flow_conv1_2_BN")
-    x = jax.nn.relu(x)
+    # jax.named_scope labels are pure HLO metadata (no runtime cost) —
+    # tools/profile_xception.py buckets device time by these regions.
+    with jax.named_scope("xstem"):
+        x = conv2d(ctx, x, 32, 3, "entry_flow_conv1_1", stride=2)
+        x = batch_norm(ctx, x, "entry_flow_conv1_1_BN")
+        x = jax.nn.relu(x)
+        x = conv2d_fixed(ctx, x, 64, "entry_flow_conv1_2", kernel_size=3, stride=1)
+        x = batch_norm(ctx, x, "entry_flow_conv1_2_BN")
+        x = jax.nn.relu(x)
 
-    x = xception_block(ctx, x, [128, 128, 128], "entry_flow_block1",
-                       skip_connection_type="conv", stride=2)
-    x, skip1 = xception_block(ctx, x, [256, 256, 256], "entry_flow_block2",
-                              skip_connection_type="conv", stride=2,
-                              return_skip=True)
-    x = xception_block(ctx, x, [728, 728, 728], "entry_flow_block3",
-                       skip_connection_type="conv", stride=entry_block3_stride)
+    with jax.named_scope("xentry1"):
+        x = xception_block(ctx, x, [128, 128, 128], "entry_flow_block1",
+                           skip_connection_type="conv", stride=2)
+    with jax.named_scope("xentry2"):
+        x, skip1 = xception_block(ctx, x, [256, 256, 256], "entry_flow_block2",
+                                  skip_connection_type="conv", stride=2,
+                                  return_skip=True)
+    with jax.named_scope("xentry3"):
+        x = xception_block(ctx, x, [728, 728, 728], "entry_flow_block3",
+                           skip_connection_type="conv",
+                           stride=entry_block3_stride)
     for i in range(16):
-        x = xception_block(ctx, x, [728, 728, 728], f"middle_flow_unit_{i + 1}",
-                           skip_connection_type="sum", stride=1,
-                           rate=middle_block_rate)
-    x = xception_block(ctx, x, [728, 1024, 1024], "exit_flow_block1",
-                       skip_connection_type="conv", stride=1,
-                       rate=exit_block_rates[0])
-    x = xception_block(ctx, x, [1536, 1536, 2048], "exit_flow_block2",
-                       skip_connection_type="none", stride=1,
-                       rate=exit_block_rates[1], depth_activation=True)
+        with jax.named_scope(f"xmid{i + 1:02d}"):
+            x = xception_block(ctx, x, [728, 728, 728],
+                               f"middle_flow_unit_{i + 1}",
+                               skip_connection_type="sum", stride=1,
+                               rate=middle_block_rate)
+    with jax.named_scope("xexit1"):
+        x = xception_block(ctx, x, [728, 1024, 1024], "exit_flow_block1",
+                           skip_connection_type="conv", stride=1,
+                           rate=exit_block_rates[0])
+    with jax.named_scope("xexit2"):
+        x = xception_block(ctx, x, [1536, 1536, 2048], "exit_flow_block2",
+                           skip_connection_type="none", stride=1,
+                           rate=exit_block_rates[1], depth_activation=True)
     return x, skip1
